@@ -1,0 +1,520 @@
+r"""Abelian charge bookkeeping: :class:`ChargeInfo`, :class:`LegCharge`, :class:`LegPipe`.
+
+TPU-first design notes
+----------------------
+Unlike the reference implementation (tenpy ``tenpy/linalg/charges.py:39,552,1444``), every
+object in this module is **immutable and hashable**.  Charge metadata is *static* information:
+under ``jax.jit`` it lives in the pytree aux-data, so two tensors with the same charge
+structure share one compiled executable.  All sector matching / fusion happens at *trace time*
+on the host (in numpy), producing static contraction plans; only the dense block payloads are
+traced JAX arrays.
+
+Conventions (mirroring the reference semantics so that results are comparable):
+
+* A charge vector has ``qnumber`` integer entries; entry ``k`` is defined modulo ``mod[k]``
+  where ``mod[k] == 1`` means an (unbounded) U(1) charge and ``mod[k] == N`` a Z_N charge.
+* A :class:`LegCharge` partitions the leg's index range ``[0, ind_len)`` into contiguous
+  *sectors* ``slices[i]:slices[i+1]``, each carrying a charge vector ``charges[i]``.
+* ``qconj`` is +1 if the leg's charges count toward the total charge with a plus sign
+  (an "incoming" leg) and -1 otherwise.
+* The block-sparsity invariant of an array with total charge ``qtotal``:
+  ``sum_legs qconj * charges[sector] == qtotal  (mod)`` for every stored block.
+"""
+
+from __future__ import annotations
+
+import itertools
+import numpy as np
+
+__all__ = [
+    'QTYPE', 'ChargeInfo', 'LegCharge', 'LegPipe',
+]
+
+QTYPE = np.int64
+
+
+def _as_immutable(arr):
+    a = np.ascontiguousarray(arr, dtype=QTYPE)
+    a.setflags(write=False)
+    return a
+
+
+class ChargeInfo:
+    """Metadata for the abelian symmetry group: number of charges and their modulo.
+
+    Parameters
+    ----------
+    mod : iterable of int
+        ``mod[k] == 1`` for a U(1) charge, ``N > 1`` for Z_N.
+    names : iterable of str, optional
+        Descriptive names per charge.
+
+    .. note::
+        Reference: ``tenpy/linalg/charges.py:39`` (``ChargeInfo``); re-designed here as a
+        frozen value type usable as jit static argument.
+    """
+
+    __slots__ = ('mod', 'names', '_hash')
+
+    def __init__(self, mod=(), names=None):
+        mod = tuple(int(m) for m in mod)
+        if any(m < 1 for m in mod):
+            raise ValueError("mod entries must be >= 1")
+        if names is None:
+            names = ('',) * len(mod)
+        names = tuple(str(n) for n in names)
+        if len(names) != len(mod):
+            raise ValueError("names / mod length mismatch")
+        object.__setattr__ if False else None
+        self.mod = mod
+        self.names = names
+        self._hash = hash(('ChargeInfo', mod, names))
+
+    @classmethod
+    def trivial(cls):
+        return cls(())
+
+    @property
+    def qnumber(self):
+        return len(self.mod)
+
+    def make_valid(self, charges=None):
+        """Map charge values into the canonical range (mod N for Z_N charges)."""
+        if charges is None:
+            return np.zeros((self.qnumber,), QTYPE)
+        charges = np.asarray(charges, dtype=QTYPE)
+        if charges.shape[-1] != self.qnumber:
+            raise ValueError(f"charges last dim {charges.shape} != qnumber {self.qnumber}")
+        if self.qnumber == 0:
+            return charges
+        mod = np.array(self.mod, dtype=QTYPE)
+        # U(1) (mod==1) entries pass through unchanged; Z_N entries wrap.
+        wrapped = np.mod(charges, mod)
+        return np.where(mod == 1, charges, wrapped)
+
+    def check_valid(self, charges):
+        charges = np.asarray(charges, dtype=QTYPE)
+        return np.array_equal(self.make_valid(charges), charges)
+
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if not isinstance(other, ChargeInfo):
+            return NotImplemented
+        return self.mod == other.mod
+
+    def __ne__(self, other):
+        res = self.__eq__(other)
+        return res if res is NotImplemented else not res
+
+    def __hash__(self):
+        return self._hash
+
+    def __repr__(self):
+        return f"ChargeInfo({list(self.mod)}, {list(self.names)})"
+
+
+class LegCharge:
+    """Charge structure of one tensor leg: contiguous sectors with charge vectors.
+
+    Attributes
+    ----------
+    chinfo : ChargeInfo
+    slices : np.ndarray (block_number+1,), read-only
+        Sector ``i`` covers flat indices ``slices[i]:slices[i+1]``.
+    charges : np.ndarray (block_number, qnumber), read-only
+    qconj : {+1, -1}
+
+    .. note::
+        Reference: ``tenpy/linalg/charges.py:552`` (``LegCharge``); here immutable/hashable.
+    """
+
+    __slots__ = ('chinfo', 'slices', 'charges', 'qconj', 'sorted', 'bunched', '_hash')
+
+    def __init__(self, chinfo, slices, charges, qconj=1):
+        self.chinfo = chinfo
+        self.slices = _as_immutable(slices)
+        n_sec = len(self.slices) - 1
+        self.charges = _as_immutable(
+            np.asarray(charges, dtype=QTYPE).reshape(n_sec, chinfo.qnumber))
+        self.qconj = int(qconj)
+        if self.qconj not in (1, -1):
+            raise ValueError("qconj must be +-1")
+        if self.slices.ndim != 1 or len(self.slices) != len(self.charges) + 1:
+            raise ValueError("slices/charges shape mismatch")
+        self.sorted = bool(self._compute_sorted())
+        self.bunched = bool(self._compute_bunched())
+        self._hash = hash((self.chinfo, self.slices.tobytes(), self.charges.tobytes(),
+                           self.qconj))
+
+    # ---------------------------------------------------------------- constructors
+    @classmethod
+    def from_trivial(cls, ind_len, chinfo=None, qconj=1):
+        """Leg with a single sector of zero charge."""
+        if chinfo is None:
+            chinfo = ChargeInfo.trivial()
+        return cls(chinfo, [0, ind_len], [chinfo.make_valid()], qconj)
+
+    @classmethod
+    def from_qflat(cls, chinfo, qflat, qconj=1):
+        """From one charge vector per flat index (adjacent equal charges merged)."""
+        qflat = np.asarray(qflat, dtype=QTYPE)
+        if chinfo.qnumber == 0:
+            qflat = qflat.reshape(len(qflat), 0)
+        else:
+            qflat = qflat.reshape(-1, chinfo.qnumber)
+        ind_len = len(qflat)
+        if ind_len == 0:
+            return cls(chinfo, [0], np.zeros((0, chinfo.qnumber), QTYPE), qconj)
+        diffs = _find_row_differences(qflat)
+        charges = qflat[diffs[:-1]]
+        return cls(chinfo, diffs, charges, qconj)
+
+    @classmethod
+    def from_qind(cls, chinfo, slices, charges, qconj=1):
+        return cls(chinfo, slices, charges, qconj)
+
+    @classmethod
+    def from_qdict(cls, chinfo, qdict, qconj=1):
+        """From ``{charge tuple: slice}`` mapping."""
+        items = sorted(qdict.items(), key=lambda kv: kv[1].start)
+        slices = [0]
+        charges = []
+        for q, sl in items:
+            if sl.start != slices[-1]:
+                raise ValueError("qdict slices not contiguous")
+            slices.append(sl.stop)
+            charges.append(q)
+        return cls(chinfo, slices, charges, qconj)
+
+    # ---------------------------------------------------------------- properties
+    @property
+    def ind_len(self):
+        return int(self.slices[-1])
+
+    @property
+    def block_number(self):
+        return len(self.charges)
+
+    def sector_sizes(self):
+        return self.slices[1:] - self.slices[:-1]
+
+    def get_slice(self, qindex):
+        return slice(int(self.slices[qindex]), int(self.slices[qindex + 1]))
+
+    def get_charge(self, qindex):
+        """Charge of sector as it counts toward qtotal (i.e. multiplied by qconj)."""
+        return self.chinfo.make_valid(self.charges[qindex] * self.qconj)
+
+    def get_qindex(self, flat_index):
+        """Return ``(qindex, index_within_sector)`` for a flat leg index."""
+        if flat_index < 0:
+            flat_index += self.ind_len
+        if not 0 <= flat_index < self.ind_len:
+            raise IndexError(flat_index)
+        qi = int(np.searchsorted(self.slices, flat_index, side='right')) - 1
+        return qi, flat_index - int(self.slices[qi])
+
+    def to_qflat(self):
+        out = np.empty((self.ind_len, self.chinfo.qnumber), QTYPE)
+        for i in range(self.block_number):
+            out[self.slices[i]:self.slices[i + 1]] = self.charges[i]
+        return out
+
+    def to_qdict(self):
+        return {tuple(self.charges[i]): slice(int(self.slices[i]), int(self.slices[i + 1]))
+                for i in range(self.block_number)}
+
+    # ---------------------------------------------------------------- transformations
+    def conj(self):
+        """Flip ``qconj`` keeping ``charges`` — the contractible partner of self."""
+        return LegCharge(self.chinfo, self.slices, self.charges, -self.qconj)
+
+    def flip_charges_qconj(self):
+        """Flip qconj *and* negate charges: same physical leg, opposite bookkeeping."""
+        charges = self.chinfo.make_valid(-self.charges)
+        res = LegCharge(self.chinfo, self.slices, charges, -self.qconj)
+        return res
+
+    def sort(self, bunch=True):
+        """Return ``(perm_flat, sorted_leg)`` with sectors sorted lexicographically."""
+        if self.block_number > 1 and self.chinfo.qnumber > 0:
+            perm_qind = np.lexsort(self.charges.T)
+        else:
+            perm_qind = np.arange(self.block_number)
+        sizes = self.sector_sizes()
+        new_sizes = sizes[perm_qind]
+        new_slices = np.concatenate([[0], np.cumsum(new_sizes)])
+        new_charges = self.charges[perm_qind]
+        perm_flat = np.concatenate(
+            [np.arange(self.slices[qi], self.slices[qi + 1]) for qi in perm_qind]) \
+            if self.block_number > 0 else np.zeros(0, np.intp)
+        leg = LegCharge(self.chinfo, new_slices, new_charges, self.qconj)
+        if bunch:
+            _, leg = leg.bunch()
+        return perm_flat, leg
+
+    def bunch(self):
+        """Merge adjacent sectors with equal charge. Returns ``(idx_kept, bunched_leg)``."""
+        if self.block_number < 2:
+            return np.arange(self.block_number + 1), self
+        keep = _find_row_differences(self.charges)
+        slices = self.slices[keep]
+        charges = self.charges[keep[:-1]]
+        return keep, LegCharge(self.chinfo, slices, charges, self.qconj)
+
+    def project(self, mask):
+        """Keep only indices where boolean ``mask`` is True.
+
+        Returns ``(map_qind, block_masks, projected_leg)`` where ``map_qind[old_qi]`` is the
+        new qindex (or -1 if the sector vanished) and ``block_masks[old_qi]`` the mask within
+        the old sector.
+        """
+        mask = np.asarray(mask, dtype=bool)
+        if len(mask) != self.ind_len:
+            raise ValueError("mask length mismatch")
+        block_masks = [mask[self.slices[i]:self.slices[i + 1]]
+                       for i in range(self.block_number)]
+        new_sizes = np.array([int(m.sum()) for m in block_masks], dtype=QTYPE)
+        keep = new_sizes > 0
+        map_qind = np.full(self.block_number, -1, dtype=QTYPE)
+        map_qind[keep] = np.arange(int(keep.sum()))
+        slices = np.concatenate([[0], np.cumsum(new_sizes[keep])])
+        charges = self.charges[keep]
+        leg = LegCharge(self.chinfo, slices, charges, self.qconj)
+        return map_qind, block_masks, leg
+
+    def extend(self, extra_len, charge=None):
+        """Append ``extra_len`` indices in a (new) sector of given charge (default 0)."""
+        if charge is None:
+            charge = self.chinfo.make_valid()
+        slices = np.concatenate([self.slices, [self.ind_len + extra_len]])
+        charges = np.concatenate([self.charges,
+                                  np.asarray(charge, QTYPE).reshape(1, -1)], axis=0)
+        return LegCharge(self.chinfo, slices, charges, self.qconj)
+
+    def charge_sectors(self):
+        """Unique charges occurring on this leg (sorted)."""
+        return np.unique(self.charges, axis=0)
+
+    # ---------------------------------------------------------------- checks
+    def _compute_sorted(self):
+        if self.block_number < 2:
+            return True
+        c = self.charges
+        for i in range(len(c) - 1):
+            a, b = tuple(c[i][::-1]), tuple(c[i + 1][::-1])
+            if a > b:
+                return False
+        return True
+
+    def _compute_bunched(self):
+        if self.block_number < 2:
+            return True
+        return bool(np.all(np.any(self.charges[1:] != self.charges[:-1], axis=1)))
+
+    def is_sorted(self):
+        return self.sorted
+
+    def is_bunched(self):
+        return self.bunched
+
+    def test_sanity(self):
+        assert np.all(self.slices[1:] >= self.slices[:-1])
+        assert self.slices[0] == 0
+        assert self.chinfo.check_valid(self.charges)
+
+    def test_contractible(self, other):
+        """Check that ``self`` and ``other`` can be contracted against each other."""
+        if self.chinfo != other.chinfo:
+            raise ValueError("different ChargeInfo")
+        if self.ind_len != other.ind_len:
+            raise ValueError(f"incompatible leg length {self.ind_len} vs {other.ind_len}")
+        if self.qconj != -other.qconj:
+            raise ValueError("same qconj on contracted legs")
+        if not np.array_equal(self.slices, other.slices):
+            raise ValueError("different sector boundaries")
+        if not np.array_equal(self.charges, other.charges):
+            raise ValueError("different charges")
+
+    def test_equal(self, other):
+        """Check that ``self`` and ``other`` describe the same charge structure."""
+        if self.chinfo != other.chinfo:
+            raise ValueError("different ChargeInfo")
+        if self.qconj == other.qconj:
+            if np.array_equal(self.slices, other.slices) and \
+                    np.array_equal(self.charges, other.charges):
+                return
+            raise ValueError("unequal legs")
+        # opposite qconj: charges must be negated
+        if np.array_equal(self.slices, other.slices) and \
+                np.array_equal(self.chinfo.make_valid(-self.charges), other.charges):
+            return
+        raise ValueError("unequal legs")
+
+    # ---------------------------------------------------------------- dunder
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if not isinstance(other, LegCharge):
+            return NotImplemented
+        return (self.qconj == other.qconj and self.chinfo == other.chinfo
+                and self.slices.shape == other.slices.shape
+                and np.array_equal(self.slices, other.slices)
+                and np.array_equal(self.charges, other.charges))
+
+    def __ne__(self, other):
+        res = self.__eq__(other)
+        return res if res is NotImplemented else not res
+
+    def __hash__(self):
+        return self._hash
+
+    def __repr__(self):
+        return (f"LegCharge(qconj={self.qconj:+d}, len={self.ind_len}, "
+                f"sectors={self.block_number})")
+
+
+class LegPipe(LegCharge):
+    """A :class:`LegCharge` obtained by fusing several legs into one.
+
+    The fused leg enumerates combinations of the constituent sectors, *sorted and bunched* by
+    fused charge.  The mapping from combinations to positions in the fused leg is kept so the
+    fusion can be undone exactly (``split_legs``).
+
+    Attributes
+    ----------
+    legs : tuple of LegCharge
+    q_map : np.ndarray (n_comb, 3 + nlegs)
+        Rows ``[start, stop, fused_qindex, s_0, ..., s_{n-1}]``: the combination with
+        constituent sector indices ``(s_0, ..)`` occupies ``fused_slice.start + start :
+        ... + stop`` inside fused sector ``fused_qindex``. Sorted by (fused_qindex, start).
+    q_map_slices : list of np.ndarray
+        For each fused sector, the row-range of q_map belonging to it.
+
+    .. note::
+        Reference: ``tenpy/linalg/charges.py:1444`` (``LegPipe``); the combination→position
+        map here is built once on the host and reused as static plan data.
+    """
+
+    __slots__ = ('legs', 'subshape', 'subqshape', 'q_map', 'q_map_slices', '_strides',
+                 '_map_dict')
+
+    def __init__(self, legs, qconj=1, sort=True, bunch=True):
+        legs = tuple(legs)
+        if len(legs) == 0:
+            raise ValueError("need at least one leg")
+        chinfo = legs[0].chinfo
+        for l in legs[1:]:
+            if l.chinfo != chinfo:
+                raise ValueError("different ChargeInfo")
+        if not (sort and bunch):
+            raise NotImplementedError("LegPipe requires sort=bunch=True in this rebuild")
+        self.legs = legs
+        self.subshape = tuple(l.ind_len for l in legs)
+        self.subqshape = tuple(l.block_number for l in legs)
+        qconj = int(qconj)
+
+        nlegs = len(legs)
+        qnumber = chinfo.qnumber
+        # enumerate all sector combinations (C-order: last leg fastest)
+        grids = np.meshgrid(*[np.arange(n) for n in self.subqshape], indexing='ij')
+        combs = np.stack([g.ravel() for g in grids], axis=1) if nlegs > 0 else \
+            np.zeros((1, 0), QTYPE)  # (n_comb, nlegs)
+        n_comb = combs.shape[0]
+        sizes = np.ones(n_comb, dtype=QTYPE)
+        fused_q = np.zeros((n_comb, qnumber), QTYPE)
+        for k, l in enumerate(legs):
+            sizes *= l.sector_sizes()[combs[:, k]]
+            fused_q += l.charges[combs[:, k]] * l.qconj
+        fused_q = chinfo.make_valid(fused_q * qconj)
+
+        # sort combinations by fused charge (stable, so C-order preserved within a charge)
+        order = np.lexsort(fused_q.T) if (n_comb > 1 and qnumber > 0) else np.arange(n_comb)
+        fused_q_s = fused_q[order]
+        sizes_s = sizes[order]
+        combs_s = combs[order]
+        diffs = _find_row_differences(fused_q_s) if n_comb > 0 else np.array([0])
+        n_sector = len(diffs) - 1
+        charges = fused_q_s[diffs[:-1]]  # already the pipe-oriented charges (see above)
+        sector_sizes = np.add.reduceat(sizes_s, diffs[:-1]) if n_sector else \
+            np.zeros(0, QTYPE)
+        slices = np.concatenate([[0], np.cumsum(sector_sizes)]).astype(QTYPE)
+
+        # build q_map: within-sector offsets
+        q_map = np.empty((n_comb, 3 + nlegs), QTYPE)
+        within = np.zeros(n_comb, QTYPE)
+        for s in range(n_sector):
+            lo, hi = diffs[s], diffs[s + 1]
+            csum = np.concatenate([[0], np.cumsum(sizes_s[lo:hi])])
+            within[lo:hi] = csum[:-1]
+            q_map[lo:hi, 2] = s
+        q_map[:, 0] = within
+        q_map[:, 1] = within + sizes_s
+        q_map[:, 3:] = combs_s
+        self.q_map = _as_immutable(q_map)
+        self.q_map_slices = diffs
+        self._strides = _c_strides(self.subqshape)
+        # dict: sector-combination tuple -> q_map row
+        self._map_dict = {tuple(int(x) for x in q_map[r, 3:]): r
+                          for r in range(n_comb)}
+        LegCharge.__init__(self, chinfo, slices, charges, qconj)
+
+    def to_LegCharge(self):
+        return LegCharge(self.chinfo, self.slices, self.charges, self.qconj)
+
+    def conj(self):
+        """Flip qconj of the pipe *and* of all constituent legs."""
+        res = LegPipe([l.conj() for l in self.legs], qconj=-self.qconj)
+        return res
+
+    def outer_conj(self):
+        """Flip only the pipe's qconj (keep constituent legs)."""
+        return LegPipe(self.legs, qconj=-self.qconj)
+
+    @property
+    def nlegs(self):
+        return len(self.legs)
+
+    def map_comb(self, comb):
+        """Return ``(offset_start, offset_stop, fused_qindex)`` for sector combination."""
+        r = self._map_dict[tuple(int(c) for c in comb)]
+        row = self.q_map[r]
+        return int(row[0]), int(row[1]), int(row[2])
+
+    def map_incoming_flat(self, incoming):
+        """Flat fused-leg index for flat indices ``incoming`` on the constituent legs."""
+        qis = []
+        within = 0
+        for l, i in zip(self.legs, incoming):
+            qi, rem = l.get_qindex(i)
+            qis.append((qi, rem))
+        # position within the combination block (C-order over within-sector indices)
+        sizes = [int(l.sector_sizes()[qi]) for l, (qi, _) in zip(self.legs, qis)]
+        pos = 0
+        for (qi, rem), sz in zip(qis, sizes):
+            pos = pos * sz + rem
+        start, stop, fqi = self.map_comb([qi for qi, _ in qis])
+        return int(self.slices[fqi]) + start + pos
+
+    def __repr__(self):
+        return (f"LegPipe(nlegs={self.nlegs}, qconj={self.qconj:+d}, len={self.ind_len}, "
+                f"sectors={self.block_number})")
+
+
+def _find_row_differences(arr):
+    """Indices ``i`` where row ``arr[i]`` differs from ``arr[i-1]``, framed by 0 and len."""
+    if len(arr) == 0:
+        return np.array([0], QTYPE)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    diff = np.any(arr[1:] != arr[:-1], axis=1)
+    return np.concatenate([[0], np.nonzero(diff)[0] + 1, [len(arr)]]).astype(QTYPE)
+
+
+def _c_strides(shape):
+    """C-order strides (in elements) for a given shape."""
+    strides = np.ones(len(shape), QTYPE)
+    for i in range(len(shape) - 2, -1, -1):
+        strides[i] = strides[i + 1] * shape[i + 1]
+    return strides
