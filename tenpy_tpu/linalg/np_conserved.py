@@ -76,6 +76,11 @@ class Array:
         ``_data``/``_qdata`` layout).  Registered as a JAX pytree; see module docstring.
     """
 
+    # numpy scalars must defer to our __rmul__/__radd__ instead of broadcasting
+    # through __array__ (which would silently densify the block-sparse tensor).
+    __array_ufunc__ = None
+    __array_priority__ = 10000
+
     def __init__(self, legs, dtype=jnp.float64, qtotal=None, labels=None):
         legs = tuple(legs)
         if len(legs) == 0:
