@@ -1,0 +1,427 @@
+r"""Density Matrix Renormalization Group: 1- and 2-site, finite and infinite.
+
+Rebuild of ``tenpy/algorithms/dmrg.py`` (run :63, DMRGEngine :112, TwoSiteDMRGEngine
+:846, SingleSiteDMRGEngine :955, full_diag_effH :1177, chi_list :1142).
+
+The ``diag`` step runs :class:`~tenpy_tpu.linalg.krylov_based.LanczosGroundState` on the
+jitted effective-H matvec (see :mod:`~tenpy_tpu.algorithms.mps_common`); per-sweep
+statistics mirror the reference (`update_stats` / `sweep_stats`).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from .mps_common import (IterativeSweeps, TwoSiteH, OneSiteH, DensityMatrixMixer,
+                         SubspaceExpansion, Mixer)
+from ..linalg import np_conserved as npc
+from ..linalg.krylov_based import LanczosGroundState, lanczos_arpack
+from ..linalg.truncation import svd_theta, TruncationError
+from ..tools.params import asConfig
+from ..tools.process import memory_usage
+from ..tools.misc import consistency_check
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['run', 'DMRGEngine', 'TwoSiteDMRGEngine', 'SingleSiteDMRGEngine',
+           'chi_list', 'full_diag_effH']
+
+
+def run(psi, model, options, **kwargs):
+    """Find the MPS ground state of `model` with DMRG; mutates `psi`.
+
+    Returns info dict with 'E', 'shelve', 'bond_statistics', 'sweep_statistics'.
+    Reference: ``tenpy/algorithms/dmrg.py:63``.
+    """
+    options = asConfig(options, 'DMRG')
+    active_sites = options.get('active_sites', 2, int)
+    if active_sites == 1:
+        engine = SingleSiteDMRGEngine(psi, model, options, **kwargs)
+    elif active_sites == 2:
+        engine = TwoSiteDMRGEngine(psi, model, options, **kwargs)
+    else:
+        raise ValueError("active_sites must be 1 or 2")
+    E, _ = engine.run()
+    return {
+        'E': E,
+        'shelve': engine.shelve,
+        'bond_statistics': engine.update_stats,
+        'sweep_statistics': engine.sweep_stats,
+    }
+
+
+class DMRGEngine(IterativeSweeps):
+    """DMRG base engine (variational ground-state search).
+
+    Options (reference ``dmrg.py:112``): ``N_sweeps_check`` (10 / 1 for finite),
+    ``min_sweeps``, ``max_sweeps``, ``max_E_err`` (1e-8), ``max_S_err`` (1e-5),
+    ``lanczos_params``, ``trunc_params``, ``chi_list``, ``mixer``, ``combine``,
+    ``diag_method`` ('default'), ``norm_tol`` (1e-5), ``update_env``.
+    """
+
+    EffectiveH = None
+    DefaultMixer = None
+
+    def __init__(self, psi, model, options, **kwargs):
+        options = asConfig(options, self.__class__.__name__)
+        self.diag_method = options.get('diag_method', 'default', str)
+        self._entropy_approx = [None] * psi.L
+        super().__init__(psi, model, options, **kwargs)
+
+    @property
+    def DMRG_params(self):
+        return self.options
+
+    def reset_stats(self, resume_data=None):
+        super().reset_stats(resume_data)
+        self.E_trunc_list = []
+        self.update_stats = {'i0': [], 'age': [], 'E_total': [], 'N_lanczos': [],
+                             'time': [], 'err': [], 'ov_change': []}
+        self.sweep_stats = {'sweep': [], 'N_updates': [], 'E': [], 'Delta_E': [],
+                            'S': [], 'Delta_S': [], 'max_S': [], 'time': [],
+                            'max_trunc_err': [], 'max_E_trunc': [], 'max_chi': [],
+                            'norm_err': []}
+        self._entropy_approx = [None] * self.psi.L
+
+    def pre_run_initialize(self):
+        super().pre_run_initialize()
+        self.mixer_activate()
+        self.E_old = np.nan
+        self.S_old = np.nan
+
+    def run_iteration(self):
+        """N_sweeps_check sweeps + statistics + convergence bookkeeping.
+
+        Reference: ``tenpy/algorithms/dmrg.py:219``."""
+        options = self.options
+        N_sweeps_check = options.get('N_sweeps_check', 1 if self.finite else 10, int)
+        p_tol_to_trunc = options.get('P_tol_to_trunc', 0.05, 'real')
+        p_tol_min = options.get('P_tol_min', 5e-16, 'real')
+        p_tol_max = options.get('P_tol_max', 1e-4, 'real')
+        self.E_trunc_list = []
+        for _ in range(N_sweeps_check - 1):
+            self.sweep()
+        max_trunc_err = self.sweep()
+        # adapt Lanczos tolerance to the truncation level
+        if p_tol_to_trunc is not None and max_trunc_err > p_tol_min:
+            P_tol = max(p_tol_min, min(p_tol_max, max_trunc_err * p_tol_to_trunc))
+            self.lanczos_params['P_tol'] = P_tol
+        if not self.finite:
+            update_env = options.get('update_env', N_sweeps_check // 2, int)
+            self.environment_sweeps(update_env)
+        # statistics
+        entropy_bonds = [s for s in self._entropy_approx if s is not None] or [0.]
+        max_S = max(entropy_bonds)
+        S = np.mean(entropy_bonds)
+        if not self.finite:
+            Es = self.update_stats['E_total']
+            age = self.update_stats['age']
+            delta = min(1 + 2 * self.env.L, len(age))
+            growth = max(age[-1] - age[-delta], 1)
+            E = (Es[-1] - Es[-delta]) / growth
+        else:
+            E = self.update_stats['E_total'][-1]
+        norm_err = np.linalg.norm(self.psi.norm_test())
+        ss = self.sweep_stats
+        ss['sweep'].append(self.sweeps)
+        ss['N_updates'].append(len(self.update_stats['i0']))
+        ss['E'].append(E)
+        ss['Delta_E'].append((E - self.E_old) / max(N_sweeps_check, 1))
+        ss['S'].append(S)
+        ss['Delta_S'].append((S - self.S_old) / max(N_sweeps_check, 1))
+        ss['max_S'].append(max_S)
+        ss['time'].append(time.time() - self.time0)
+        ss['max_trunc_err'].append(max_trunc_err)
+        ss['max_E_trunc'].append(np.max(self.E_trunc_list) if self.E_trunc_list else 0.)
+        ss['max_chi'].append(max(self.psi.chi) if self.psi.chi else 1)
+        ss['norm_err'].append(norm_err)
+        self.E_old = E
+        self.S_old = S
+        return E, self.psi
+
+    def status_update(self, iteration_start_time):
+        logger.info(
+            "sweep %d: E=%.14f, dE=%.3e, S=%.10f, max_chi=%d, trunc=%.3e, "
+            "norm_err=%.1e, mem=%.1fMB",
+            self.sweeps, self.sweep_stats['E'][-1], self.sweep_stats['Delta_E'][-1],
+            self.sweep_stats['S'][-1], self.sweep_stats['max_chi'][-1],
+            self.sweep_stats['max_trunc_err'][-1], self.sweep_stats['norm_err'][-1],
+            memory_usage())
+
+    def is_converged(self):
+        """Converged when both |Delta E| and |Delta S| are below thresholds.
+
+        Reference: ``dmrg.py:376``."""
+        max_E_err = self.options.get('max_E_err', 1e-8, 'real')
+        max_S_err = self.options.get('max_S_err', 1e-5, 'real')
+        if len(self.sweep_stats['E']) < 1:
+            return False
+        E = self.sweep_stats['E'][-1]
+        Delta_E = self.sweep_stats['Delta_E'][-1]
+        Delta_S = self.sweep_stats['Delta_S'][-1]
+        return abs(Delta_E) < max_E_err * max(abs(E), 1.) and \
+            abs(Delta_S) < max_S_err
+
+    def post_run_cleanup(self):
+        """Canonicalize if the norm error got too large. Reference: ``dmrg.py:402``."""
+        super().post_run_cleanup()
+        norm_tol = self.options.get('norm_tol', 1e-5, 'real')
+        norm_err = np.linalg.norm(self.psi.norm_test())
+        if norm_err > norm_tol:
+            logger.info("norm_err=%.2e > norm_tol: canonicalize", norm_err)
+            self._canonicalize(True)
+
+    def _canonicalize(self, warn=False):
+        norm_tol_iter = self.options.get('norm_tol_iter', 5, 'real')
+        norm_tol_final = self.options.get('norm_tol_final', 1e-10, 'real')
+        self.psi.canonical_form()
+        self.env.clear()
+        self.env.init_first_LP_last_RP()
+        if not self.finite:
+            self.environment_sweeps(int(norm_tol_iter))
+
+    def run_iteration_hook(self):
+        pass
+
+    # ---------------------------------------------------------------- local updates
+    def update_local(self, theta, optimize=True):
+        """Diagonalize eff_H, truncate, set new B's. Reference: ``dmrg.py:529``."""
+        i0 = self.i0
+        n_opt = self.n_optimize
+        age = self.env.get_LP_age(i0) + n_opt + self.env.get_RP_age(i0 + n_opt - 1)
+        if optimize:
+            E0, theta, N, ov_change = self.diag(theta)
+        else:
+            E0, N, ov_change = None, 0, 0.
+        theta = self.prepare_svd(theta)
+        U, S, VH, err, S_approx = self.mixed_svd(theta)
+        self.set_B(U, S, VH)
+        update_data = {'E0': E0, 'err': err, 'N': N, 'age': age, 'U': U, 'VH': VH,
+                       'ov_change': ov_change}
+        return update_data
+
+    def post_update_local(self, E0, age, N, ov_change, err, **update_data):
+        self.trunc_err_list.append(err.eps)
+        E_trunc = None
+        if E0 is not None:
+            self.update_stats['i0'].append(self.i0)
+            self.update_stats['age'].append(age)
+            self.update_stats['E_total'].append(E0)
+            self.update_stats['N_lanczos'].append(N)
+            self.update_stats['ov_change'].append(ov_change)
+            self.update_stats['err'].append(err)
+            self.update_stats['time'].append(time.time() - self.time0)
+        self.E_trunc_list.append(0. if E0 is None else 0.)
+
+    def diag(self, theta_guess):
+        """Diagonalize the effective Hamiltonian. Reference: ``dmrg.py:672``.
+
+        diag_method: 'default' | 'lanczos' | 'arpack' | 'ED_block' | 'ED_all'.
+        """
+        N = 0
+        ov_change = 0.
+        if self.diag_method == 'default':
+            from .mps_common import EffectiveH
+            plain = isinstance(self.eff_H, EffectiveH)
+            method = 'ED_block' if (plain and self.eff_H.N < 64) else 'lanczos'
+        else:
+            method = self.diag_method
+        if method == 'lanczos':
+            solver = LanczosGroundState(self.eff_H, theta_guess, self.lanczos_params)
+            E0, theta, N = solver.run()
+            ov_change = 1. - abs(complex(npc.inner(theta_guess.conj(), theta,
+                                                   axes='range')))
+        elif method == 'arpack':
+            E0, theta = lanczos_arpack(self.eff_H, theta_guess, self.lanczos_params)
+        elif method == 'ED_block':
+            E0, theta = full_diag_effH(self.eff_H, theta_guess, keep_sector=True)
+        elif method == 'ED_all':
+            E0, theta = full_diag_effH(self.eff_H, theta_guess, keep_sector=False)
+        else:
+            raise ValueError(f"unknown diag_method {method!r}")
+        return E0, theta, N, ov_change
+
+    def prepare_svd(self, theta):
+        raise NotImplementedError
+
+    def mixed_svd(self, theta):
+        raise NotImplementedError
+
+    def set_B(self, U, S, VH):
+        raise NotImplementedError
+
+
+class TwoSiteDMRGEngine(DMRGEngine):
+    """Two-site DMRG. Reference: ``tenpy/algorithms/dmrg.py:846``."""
+
+    EffectiveH = TwoSiteH
+    DefaultMixer = DensityMatrixMixer
+
+    def prepare_svd(self, theta):
+        if not self.eff_H.combine:
+            theta = theta.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
+        return theta
+
+    def mixed_svd(self, theta):
+        """Truncated SVD of theta (with mixer perturbation if active).
+
+        Reference: ``dmrg.py`` TwoSiteDMRGEngine.mixed_svd."""
+        i0 = self.i0
+        update_LP, update_RP = self.update_LP_RP
+        if self.mixer is None:
+            qtotal_i0 = self.psi.get_B(i0, None).qtotal
+            U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
+                                              qtotal_LR=[qtotal_i0, None],
+                                              inner_labels=['vR', 'vL'])
+            S_a = S
+        else:
+            U, S, VH, err, S_a = self.mixer.perturb_svd(self, theta, i0,
+                                                        update_LP, update_RP)
+        return U, S, VH, err, S_a
+
+    def set_B(self, U, S, VH):
+        i0 = self.i0
+        A0 = U.split_legs(['(vL.p0)']) if '(vL.p0)' in U.get_leg_labels() else U
+        B1 = VH.split_legs(['(p1.vR)']) if '(p1.vR)' in VH.get_leg_labels() else VH
+        A0.ireplace_label('p0', 'p')
+        B1.ireplace_label('p1', 'p')
+        self.psi.set_B(i0, A0, form='A')
+        self.psi.set_B(i0 + 1, B1, form='B')
+        self.psi.set_SR(i0, S)
+        self._entropy_approx[(i0 + 1) % self.psi.L] = \
+            float(-np.sum(np.asarray(S) ** 2 * np.log(np.maximum(
+                np.asarray(S) ** 2, 1e-300))))
+
+
+class SingleSiteDMRGEngine(DMRGEngine):
+    """Single-site DMRG (needs the SubspaceExpansion mixer to grow chi).
+
+    Reference: ``tenpy/algorithms/dmrg.py:955``."""
+
+    EffectiveH = OneSiteH
+    DefaultMixer = SubspaceExpansion
+    use_mixer_by_default = True
+
+    def prepare_svd(self, theta):
+        if self.eff_H.combine:
+            return theta.split_legs()
+        return theta
+
+    def mixed_svd(self, theta):
+        """theta has legs (vL, p0, vR); split via SVD keeping the moving direction.
+
+        With the mixer, the returned bond tensor already carries the Schmidt-value
+        weights (``self._vh_is_weighted``); without it, set_B applies ``S``."""
+        i0 = self.i0
+        move_right = self.move_right
+        psi = self.psi
+        at_boundary = self.finite and ((move_right and i0 + 1 >= psi.L) or
+                                       (not move_right and i0 == 0))
+        self._vh_is_weighted = False
+        if self.mixer is not None and not at_boundary:
+            self._vh_is_weighted = True
+            U_or_A, S, VH_or_B, err = self.mixer.perturb_svd(self, theta, i0,
+                                                             move_right, None)
+            return U_or_A, S, VH_or_B, err, S
+        if move_right:
+            theta = theta.combine_legs([['vL', 'p0']], qconj=[+1])
+            U, S, VH, err, renorm = svd_theta(theta, self.trunc_params)
+            return U.split_legs([0]), S, VH, err, S
+        theta = theta.combine_legs([['p0', 'vR']], qconj=[-1])
+        theta.itranspose(['vL', '(p0.vR)'])
+        U, S, VH, err, renorm = svd_theta(theta, self.trunc_params)
+        return U, S, VH.split_legs([1]), err, S
+
+    def set_B(self, U, S, VH):
+        """For 1-site: the 'other' tensor is multiplied into the neighbor."""
+        i0 = self.i0
+        psi = self.psi
+        if self.move_right:
+            A = U.ireplace_label('p0', 'p') if 'p0' in U.get_leg_labels() else U
+            psi.set_B(i0, A, form='A')
+            psi.set_SR(i0, S)
+            # multiply S VH into the next site's tensor
+            if self.finite and i0 + 1 >= psi.L:
+                pass
+            else:
+                nextB = psi.get_B(i0 + 1, form='B')
+                C = npc.tensordot(VH, nextB, axes=[['vR'], ['vL']])
+                if not self._vh_is_weighted:
+                    C = C.iscale_axis(np.asarray(S), 'vL')
+                # C is left-S-weighted right-canonical = 'Th' form
+                psi.set_B(i0 + 1, C, form='Th')
+        else:
+            B = VH.ireplace_label('p0', 'p') if 'p0' in VH.get_leg_labels() else VH
+            psi.set_B(i0, B, form='B')
+            psi.set_SL(i0, S)
+            if self.finite and i0 - 1 < 0:
+                pass
+            else:
+                prevA = psi.get_B(i0 - 1, form='A')
+                C = npc.tensordot(prevA, U, axes=[['vR'], ['vL']])
+                if not self._vh_is_weighted:
+                    C = C.iscale_axis(np.asarray(S), 'vR')
+                # C is right-S-weighted left-canonical = 'Th' form
+                psi.set_B(i0 - 1, C, form='Th')
+        self._entropy_approx[i0 % psi.L] = \
+            float(-np.sum(np.asarray(S) ** 2 *
+                          np.log(np.maximum(np.asarray(S) ** 2, 1e-300))))
+
+
+def chi_list(chi_max, dchi=20, nsweeps=20):
+    """Ramp-up schedule {sweep: chi}. Reference: ``dmrg.py:1142``."""
+    chi_list = {}
+    chi = chi_max
+    sweep = 0
+    chis = []
+    while chi > dchi:
+        chis.append(chi)
+        chi -= dchi
+    chis.append(chi)
+    chis = chis[::-1]
+    res = {}
+    for i, chi in enumerate(chis):
+        res[i * nsweeps] = chi
+    return res
+
+
+def full_diag_effH(effH, theta_guess, keep_sector=True):
+    """Exact diagonalization of the effective Hamiltonian (small blocks).
+
+    Reference: ``tenpy/algorithms/dmrg.py:1177``."""
+    mat = effH.to_matrix()
+    if keep_sector:
+        # restrict to the charge sector of theta_guess
+        leg = mat.legs[0]
+        theta_c = theta_guess.combine_legs(
+            [list(range(theta_guess.rank))]) if theta_guess.rank > 1 else theta_guess
+        from ..linalg.sparse import FlatHermitianOperator
+        flat_op = FlatHermitianOperator.from_NpcArray(
+            mat, charge_sector=tuple(theta_c.qtotal))
+        dense_full = np.asarray(mat.to_ndarray())
+        mask = flat_op._mask
+        dense = dense_full[np.ix_(mask, mask)] if mask is not None else dense_full
+        w, v = np.linalg.eigh(dense)
+        E0 = float(w[0])
+        v0 = v[:, 0]
+        theta_npc = flat_op.flat_to_npc(v0)
+        theta = theta_npc.split_legs([0]) if theta_guess.rank > 1 else theta_npc
+        theta.iset_leg_labels(theta_guess.get_leg_labels())
+        return E0, theta
+    else:
+        E, V = npc.eigh(mat)
+        i0 = int(np.argmin(np.asarray(E)))
+        E0 = float(np.asarray(E)[i0])
+        vec = np.zeros(mat.legs[0].ind_len)
+        vec[i0] = 1.
+        theta_c = npc.tensordot(V, npc.Array.from_ndarray(
+            np.asarray(vec), [mat.legs[0].conj()], warn_wrong_sector=False),
+            axes=[[1], [0]])
+        theta = theta_c.split_legs([0]) if theta_guess.rank > 1 else theta_c
+        theta.iset_leg_labels(theta_guess.get_leg_labels())
+        return E0, theta

@@ -1,0 +1,1019 @@
+r"""Sweep machinery, effective Hamiltonians, mixers, and variational compression.
+
+Rebuild of ``tenpy/algorithms/mps_common.py`` (Sweep :60, IterativeSweeps :773,
+EffectiveH :935, OneSiteH :1040, TwoSiteH :1245, ZeroSiteH :1440, Mixer :1547,
+DensityMatrixMixer :1903, SubspaceExpansion :2082, VariationalCompression :2204,
+VariationalApplyMPO :2383).
+
+TPU design: the effective-Hamiltonian ``matvec`` — where essentially all FLOPs of DMRG
+live — is a pure function of the environment/W/theta pytrees and is compiled with
+``jax.jit``; JAX caches one executable per block structure, so a sweep at fixed
+bond-dimension pattern reuses compiled kernels (the analogue of the reference's Cython
+``_tensordot_worker`` + ``CblasGemmBatch``, ``_npc_helper.pyx:1498,151``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import warnings
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .algorithm import Algorithm
+from ..linalg import np_conserved as npc
+from ..linalg.sparse import NpcLinearOperator, OrthogonalNpcLinearOperator
+from ..linalg.truncation import TruncationError, svd_theta, eigh_rho, truncate
+from ..networks.mpo import MPOEnvironment
+from ..networks.mps import MPSEnvironment
+from ..tools.params import asConfig
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['Sweep', 'IterativeSweeps', 'EffectiveH', 'OneSiteH', 'TwoSiteH',
+           'ZeroSiteH', 'Mixer', 'DensityMatrixMixer', 'SubspaceExpansion',
+           'VariationalCompression', 'VariationalApplyMPO']
+
+
+# ---------------------------------------------------------------------- jitted matvecs
+# Small effective problems (warm-up sweeps with growing chi) run eagerly: each new
+# block structure would trigger a fresh XLA compilation that is never amortized.
+# Large problems (production chi) reuse one compiled executable per structure.
+JIT_SIZE_THRESHOLD = 1 << 14
+
+
+def _matvec_2site_plain_impl(LP, RP, W0, W1, theta):
+    """(LP W0 W1 RP) . theta for theta with legs (vL, p0, p1, vR)."""
+    x = npc.tensordot(LP, theta, axes=[['vR'], ['vL']])
+    x = npc.tensordot(x, W0, axes=[['wR', 'p0'], ['wL', 'p0*']])
+    x = npc.tensordot(x, W1, axes=[['wR', 'p1'], ['wL', 'p1*']])
+    x = npc.tensordot(x, RP, axes=[['wR', 'vR'], ['wL', 'vL']])
+    x.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+    return x.itranspose(['vL', 'p0', 'p1', 'vR'])
+
+
+def _matvec_2site_combined_impl(LHeff, RHeff, theta):
+    """LHeff . theta . RHeff for theta with legs ((vL.p0), (p1.vR))."""
+    x = npc.tensordot(LHeff, theta, axes=[['(vR.p0*)'], ['(vL.p0)']])
+    x = npc.tensordot(x, RHeff, axes=[['wR', '(p1.vR)'], ['wL', '(p1*.vL)']])
+    x.ireplace_labels(['(vR*.p0)', '(p1.vL*)'], ['(vL.p0)', '(p1.vR)'])
+    return x
+
+
+def _matvec_1site_plain_impl(LP, RP, W0, theta):
+    """theta legs (vL, p0, vR)."""
+    x = npc.tensordot(LP, theta, axes=[['vR'], ['vL']])
+    x = npc.tensordot(x, W0, axes=[['wR', 'p0'], ['wL', 'p0*']])
+    x = npc.tensordot(x, RP, axes=[['wR', 'vR'], ['wL', 'vL']])
+    x.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+    return x.itranspose(['vL', 'p0', 'vR'])
+
+
+def _matvec_0site_impl(LP, RP, theta):
+    """theta legs (vL, vR)."""
+    x = npc.tensordot(LP, theta, axes=[['vR'], ['vL']])
+    x = npc.tensordot(x, RP, axes=[['wR', 'vR'], ['wL', 'vL']])
+    x.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+    return x.itranspose(['vL', 'vR'])
+
+
+_matvec_2site_plain_jit = jax.jit(_matvec_2site_plain_impl)
+_matvec_2site_combined_jit = jax.jit(_matvec_2site_combined_impl)
+_matvec_1site_plain_jit = jax.jit(_matvec_1site_plain_impl)
+_matvec_0site_jit = jax.jit(_matvec_0site_impl)
+
+
+def _matvec_2site_plain(LP, RP, W0, W1, theta, big=False):
+    f = _matvec_2site_plain_jit if big else _matvec_2site_plain_impl
+    return f(LP, RP, W0, W1, theta)
+
+
+def _matvec_2site_combined(LHeff, RHeff, theta, big=False):
+    f = _matvec_2site_combined_jit if big else _matvec_2site_combined_impl
+    return f(LHeff, RHeff, theta)
+
+
+def _matvec_1site_plain(LP, RP, W0, theta, big=False):
+    f = _matvec_1site_plain_jit if big else _matvec_1site_plain_impl
+    return f(LP, RP, W0, theta)
+
+
+def _matvec_0site(LP, RP, theta, big=False):
+    f = _matvec_0site_jit if big else _matvec_0site_impl
+    return f(LP, RP, theta)
+
+
+class EffectiveH(NpcLinearOperator):
+    """Base for effective Hamiltonians of a few sites in the environment sandwich.
+
+    Reference: ``tenpy/algorithms/mps_common.py:935``.
+    """
+
+    length = None
+    acts_on = None
+
+    def __init__(self, env, i0, combine=False, move_right=True):
+        raise NotImplementedError
+
+    def combine_theta(self, theta):
+        return theta
+
+    def to_matrix(self):
+        raise NotImplementedError
+
+    def adjoint(self):
+        return self  # effective H's here are hermitian
+
+
+class TwoSiteH(EffectiveH):
+    r"""Two-site effective Hamiltonian: LP -- W0 -- W1 -- RP.
+
+    The hot loop of DMRG: ``matvec`` is jitted; with ``combine=True``, ``LHeff``/
+    ``RHeff`` are precomputed so each matvec is two big pipe-legged contractions
+    straight onto the MXU.  Reference: ``mps_common.py:1245``.
+    """
+
+    length = 2
+    acts_on = ['vL', 'p0', 'p1', 'vR']
+
+    def __init__(self, env, i0, combine=False, move_right=True):
+        self.i0 = i0
+        self.combine = combine
+        self.LP = env.get_LP(i0)
+        self.RP = env.get_RP(i0 + 1)
+        self.W0 = env.H.get_W(i0).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+        self.W1 = env.H.get_W(i0 + 1).replace_labels(['p', 'p*'], ['p1', 'p1*'])
+        self.dtype = jnp.result_type(self.LP.dtype, self.RP.dtype, self.W0.dtype,
+                                     self.W1.dtype)
+        self.N = (self.LP.get_leg('vR').ind_len * self.W0.get_leg('p0').ind_len *
+                  self.W1.get_leg('p1').ind_len * self.RP.get_leg('vL').ind_len)
+        if combine:
+            self.combine_Heff(env)
+
+    def combine_Heff(self, env):
+        """Precompute LHeff / RHeff with combined pipe legs."""
+        LHeff = npc.tensordot(self.LP, self.W0, axes=[['wR'], ['wL']])
+        LHeff = LHeff.combine_legs([['vR*', 'p0'], ['vR', 'p0*']], qconj=[+1, -1])
+        self.LHeff = LHeff.itranspose(['(vR*.p0)', 'wR', '(vR.p0*)'])
+        RHeff = npc.tensordot(self.W1, self.RP, axes=[['wR'], ['wL']])
+        RHeff = RHeff.combine_legs([['p1', 'vL*'], ['p1*', 'vL']], qconj=[-1, +1])
+        self.RHeff = RHeff.itranspose(['(p1*.vL)', 'wL', '(p1.vL*)'])
+        self.acts_on = ['(vL.p0)', '(p1.vR)']
+        self.pipeL = self.LHeff.get_leg('(vR*.p0)')
+        self.pipeR = self.RHeff.get_leg('(p1.vL*)')
+
+    def matvec(self, theta):
+        big = self.N >= JIT_SIZE_THRESHOLD
+        if self.combine:
+            return _matvec_2site_combined(self.LHeff, self.RHeff, theta, big)
+        return _matvec_2site_plain(self.LP, self.RP, self.W0, self.W1, theta, big)
+
+    def combine_theta(self, theta):
+        """Combine legs of theta to match the combined matvec."""
+        if self.combine:
+            theta = theta.combine_legs([['vL', 'p0'], ['p1', 'vR']],
+                                       pipes=[self.pipeL, self.pipeR])
+        return theta.itranspose(self.acts_on)
+
+    def to_matrix(self):
+        if self.combine:
+            mat = npc.tensordot(self.LHeff, self.RHeff, axes=[['wR'], ['wL']])
+            mat = mat.combine_legs([['(vR*.p0)', '(p1.vL*)'], ['(vR.p0*)', '(p1*.vL)']],
+                                   qconj=[+1, -1])
+            return mat
+        mat = npc.tensordot(self.LP, self.W0, axes=[['wR'], ['wL']])
+        mat = npc.tensordot(mat, self.W1, axes=[['wR'], ['wL']])
+        mat = npc.tensordot(mat, self.RP, axes=[['wR'], ['wL']])
+        mat = mat.combine_legs([['vR*', 'p0', 'p1', 'vL*'], ['vR', 'p0*', 'p1*', 'vL']],
+                               qconj=[+1, -1])
+        return mat
+
+    def update_LP(self, env, i, U=None):
+        """Update env.LP[i] (using LHeff if combined). Reference: ``mps_common.py:1421``."""
+        if self.combine and U is not None:
+            LP = npc.tensordot(self.LHeff, U, axes=[['(vR.p0*)'], ['(vL.p0)']])
+            LP = npc.tensordot(U.conj(), LP, axes=[['(vL*.p0*)'], ['(vR*.p0)']])
+            LP.iset_leg_labels(['vR*', 'wR', 'vR'])
+            env.set_LP(i, LP, age=env.get_LP_age(i - 1) + 1)
+        else:
+            # recompute directly from LP[i-1] (the slot itself may hold stale data)
+            LP = env._contract_LP(i - 1, env.get_LP(i - 1, store=False))
+            env.set_LP(i, LP, age=env.get_LP_age(i - 1) + 1)
+
+    def update_RP(self, env, i, VH=None):
+        if self.combine and VH is not None:
+            RP = npc.tensordot(VH, self.RHeff, axes=[['(p1.vR)'], ['(p1*.vL)']])
+            RP = npc.tensordot(RP, VH.conj(), axes=[['(p1.vL*)'], ['(p1*.vR*)']])
+            RP.iset_leg_labels(['vL', 'wL', 'vL*'])
+            RP.itranspose(['vL*', 'wL', 'vL'])
+            env.set_RP(i, RP, age=env.get_RP_age(i + 1) + 1)
+        else:
+            RP = env._contract_RP(i + 1, env.get_RP(i + 1, store=False))
+            env.set_RP(i, RP, age=env.get_RP_age(i + 1) + 1)
+
+
+class OneSiteH(EffectiveH):
+    """One-site effective Hamiltonian LP -- W0 -- RP. Reference: ``mps_common.py:1040``."""
+
+    length = 1
+    acts_on = ['vL', 'p0', 'vR']
+
+    def __init__(self, env, i0, combine=False, move_right=True):
+        self.i0 = i0
+        self.combine = combine
+        self.move_right = move_right
+        self.LP = env.get_LP(i0)
+        self.RP = env.get_RP(i0)
+        self.W0 = env.H.get_W(i0).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+        self.dtype = jnp.result_type(self.LP.dtype, self.RP.dtype, self.W0.dtype)
+        self.N = (self.LP.get_leg('vR').ind_len * self.W0.get_leg('p0').ind_len *
+                  self.RP.get_leg('vL').ind_len)
+        if combine:
+            self.combine_Heff(env)
+
+    def combine_Heff(self, env):
+        if self.move_right:
+            LHeff = npc.tensordot(self.LP, self.W0, axes=[['wR'], ['wL']])
+            LHeff = LHeff.combine_legs([['vR*', 'p0'], ['vR', 'p0*']], qconj=[+1, -1])
+            self.LHeff = LHeff.itranspose(['(vR*.p0)', 'wR', '(vR.p0*)'])
+            self.pipeL = self.LHeff.get_leg('(vR*.p0)')
+            self.acts_on = ['(vL.p0)', 'vR']
+        else:
+            RHeff = npc.tensordot(self.W0, self.RP, axes=[['wR'], ['wL']])
+            RHeff = RHeff.combine_legs([['p0', 'vL*'], ['p0*', 'vL']], qconj=[-1, +1])
+            self.RHeff = RHeff.itranspose(['(p0*.vL)', 'wL', '(p0.vL*)'])
+            self.pipeR = self.RHeff.get_leg('(p0.vL*)')
+            self.acts_on = ['vL', '(p0.vR)']
+
+    def matvec(self, theta):
+        if not self.combine:
+            return _matvec_1site_plain(self.LP, self.RP, self.W0, theta,
+                                       self.N >= JIT_SIZE_THRESHOLD)
+        if self.move_right:
+            x = npc.tensordot(self.LHeff, theta, axes=[['(vR.p0*)'], ['(vL.p0)']])
+            x = npc.tensordot(x, self.RP, axes=[['wR', 'vR'], ['wL', 'vL']])
+            x.ireplace_labels(['(vR*.p0)', 'vL*'], ['(vL.p0)', 'vR'])
+            return x.itranspose(['(vL.p0)', 'vR'])
+        x = npc.tensordot(theta, self.RHeff, axes=[['(p0.vR)'], ['(p0*.vL)']])
+        x = npc.tensordot(self.LP, x, axes=[['wR', 'vR'], ['wL', 'vL']])
+        x.ireplace_labels(['vR*', '(p0.vL*)'], ['vL', '(p0.vR)'])
+        return x.itranspose(['vL', '(p0.vR)'])
+
+    def combine_theta(self, theta):
+        if self.combine:
+            if self.move_right:
+                theta = theta.combine_legs([['vL', 'p0']], pipes=[self.pipeL])
+            else:
+                theta = theta.combine_legs([['p0', 'vR']], pipes=[self.pipeR])
+        return theta.itranspose(self.acts_on)
+
+    def to_matrix(self):
+        mat = npc.tensordot(self.LP, self.W0, axes=[['wR'], ['wL']])
+        mat = npc.tensordot(mat, self.RP, axes=[['wR'], ['wL']])
+        mat = mat.combine_legs([['vR*', 'p0', 'vL*'], ['vR', 'p0*', 'vL']],
+                               qconj=[+1, -1])
+        return mat
+
+    def update_LP(self, env, i, U=None):
+        LP = env._contract_LP(i - 1, env.get_LP(i - 1, store=False))
+        env.set_LP(i, LP, age=env.get_LP_age(i - 1) + 1)
+
+    def update_RP(self, env, i, VH=None):
+        RP = env._contract_RP(i + 1, env.get_RP(i + 1, store=False))
+        env.set_RP(i, RP, age=env.get_RP_age(i + 1) + 1)
+
+
+class ZeroSiteH(EffectiveH):
+    """Zero-site effective Hamiltonian LP -- RP on bond i0 (for TDVP backward steps).
+
+    Reference: ``mps_common.py:1440``.
+    """
+
+    length = 0
+    acts_on = ['vL', 'vR']
+
+    def __init__(self, env, i0):
+        self.i0 = i0
+        self.LP = env.get_LP(i0)
+        self.RP = env.get_RP(i0 - 1)
+        self.dtype = jnp.result_type(self.LP.dtype, self.RP.dtype)
+        self.N = self.LP.get_leg('vR').ind_len * self.RP.get_leg('vL').ind_len
+
+    @classmethod
+    def from_LP_RP(cls, LP, RP, i0=0):
+        self = cls.__new__(cls)
+        self.i0 = i0
+        self.LP = LP
+        self.RP = RP
+        self.dtype = jnp.result_type(LP.dtype, RP.dtype)
+        self.N = LP.get_leg('vR').ind_len * RP.get_leg('vL').ind_len
+        return self
+
+    def matvec(self, theta):
+        return _matvec_0site(self.LP, self.RP, theta,
+                             self.N >= JIT_SIZE_THRESHOLD)
+
+    def to_matrix(self):
+        mat = npc.tensordot(self.LP, self.RP, axes=[['wR'], ['wL']])
+        mat = mat.combine_legs([['vR*', 'vL*'], ['vR', 'vL']], qconj=[+1, -1])
+        return mat
+
+
+# ======================================================================== mixers
+class Mixer:
+    """Base class for mixers perturbing the density matrix to escape local minima.
+
+    Options: ``amplitude`` (1e-5), ``decay`` (2.), ``disable_after`` (15).
+    Reference: ``tenpy/algorithms/mps_common.py:1547``.
+    """
+
+    can_decompose_theta = False
+    update_sites = 2
+
+    def __init__(self, options, sweep_activated=0):
+        self.options = options = asConfig(options, 'Mixer')
+        self.amplitude = options.get('amplitude', 1e-5, 'real')
+        self.decay = options.get('decay', 2., 'real')
+        self.disable_after = options.get('disable_after', 15, int)
+        self.sweep_activated = sweep_activated
+        self.current_amplitude = self.amplitude
+
+    def update_amplitude(self, sweeps):
+        """Reduce amplitude; return None to disable the mixer."""
+        amp = self.amplitude / self.decay ** max(0, sweeps - self.sweep_activated)
+        if self.disable_after is not None and \
+                sweeps >= self.sweep_activated + self.disable_after:
+            return None
+        self.current_amplitude = amp
+        return self
+
+    def perturb_svd(self, engine, theta, i0, update_LP, update_RP):
+        raise NotImplementedError
+
+
+class DensityMatrixMixer(Mixer):
+    r"""Perturb the two-site reduced density matrices with environment channels.
+
+    ``rho_L = tr_R |theta><theta| + a * sum_w (LP W0 theta)(...)^dagger`` (and
+    mirrored for rho_R); then truncate via eigh.
+    Reference: ``tenpy/algorithms/mps_common.py:1903``.
+    """
+
+    def perturb_svd(self, engine, theta, i0, update_LP, update_RP):
+        """Returns (U, S, VH, err, S_approx) like a truncated SVD of theta."""
+        amp = self.current_amplitude
+        env = engine.env
+        # theta with split legs (vL, p0, p1, vR)
+        theta_s = theta
+        if theta.rank == 2:
+            theta_s = theta.split_legs()
+        rho_L = npc.tensordot(theta_s, theta_s.conj(),
+                              axes=[['p1', 'vR'], ['p1*', 'vR*']])
+        rho_L = rho_L.combine_legs([['vL', 'p0'], ['vL*', 'p0*']], qconj=[+1, -1])
+        rho_R = npc.tensordot(theta_s, theta_s.conj(),
+                              axes=[['vL', 'p0'], ['vL*', 'p0*']])
+        rho_R = rho_R.combine_legs([['p1', 'vR'], ['p1*', 'vR*']], qconj=[-1, +1])
+        if update_LP:
+            LP = env.get_LP(i0)
+            W0 = env.H.get_W(i0).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+            mixL = npc.tensordot(LP, theta_s, axes=[['vR'], ['vL']])
+            mixL = npc.tensordot(mixL, W0, axes=[['wR', 'p0'], ['wL', 'p0*']])
+            # contract the bra side, leaving wR summed with weight amp
+            add = npc.tensordot(mixL, mixL.conj(),
+                                axes=[['p1', 'vR', 'wR'], ['p1*', 'vR*', 'wR*']])
+            # remaining legs: (vR* [ket side], p0, vR** [bra], p0*) -> relabel
+            add.iset_leg_labels(['vL', 'p0', 'vL*', 'p0*'])
+            add = add.combine_legs([['vL', 'p0'], ['vL*', 'p0*']], qconj=[+1, -1])
+            rho_L = rho_L + amp * add
+        if update_RP:
+            RP = env.get_RP(i0 + 1)
+            W1 = env.H.get_W(i0 + 1).replace_labels(['p', 'p*'], ['p1', 'p1*'])
+            mixR = npc.tensordot(theta_s, RP, axes=[['vR'], ['vL']])
+            mixR = npc.tensordot(mixR, W1, axes=[['wL', 'p1'], ['wR', 'p1*']])
+            add = npc.tensordot(mixR, mixR.conj(),
+                                axes=[['vL', 'p0', 'wL'], ['vL*', 'p0*', 'wL*']])
+            add.iset_leg_labels(['vL', 'p1', 'vL*', 'p1*'])
+            add.ireplace_labels(['vL', 'vL*'], ['vR', 'vR*'])
+            add = add.combine_legs([['p1', 'vR'], ['p1*', 'vR*']], qconj=[-1, +1])
+            rho_R = rho_R + amp * add
+        # diagonalize & truncate.  U has legs ('(vL.p0)', inner 'vR');
+        # V has legs ('(p1.vR)', inner 'vL').
+        trunc_par = engine.trunc_params
+        W_L, U, errL, renormL = eigh_rho(rho_L, trunc_par, sort='m>')
+        W_R, V, errR, renormR = eigh_rho(rho_R, trunc_par, sort='m>')
+        U.iset_leg_labels(['(vL.p0)', 'vR'])
+        V.iset_leg_labels(['(p1.vR)', 'vL'])
+        theta_c = theta if theta.rank == 2 else \
+            theta_s.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
+        # theta in the mixed bases: theta_mixed = U^dag . theta . conj(V)
+        thetaU = npc.tensordot(U.conj(), theta_c,
+                               axes=[['(vL*.p0*)'], ['(vL.p0)']])
+        S_mat = npc.tensordot(thetaU, V.conj(), axes=[['(p1.vR)'], ['(p1*.vR*)']])
+        S_mat.iset_leg_labels(['vL', 'vR'])
+        # small SVD for a diagonal S; rotate U, V into the SVD bases:
+        # theta = (U U2) S (V2H V^T)
+        U2, S, V2H = npc.svd(S_mat, inner_labels=['vR', 'vL'])
+        S = np.asarray(S)
+        renorm = np.linalg.norm(S)
+        S = S / renorm
+        U_f = npc.tensordot(U, U2, axes=[['vR'], ['vL']])
+        U_f.iset_leg_labels(['(vL.p0)', 'vR'])
+        VH_f = npc.tensordot(V2H, V, axes=[['vR'], ['vL']])
+        VH_f.iset_leg_labels(['vL', '(p1.vR)'])
+        err = TruncationError(errL.eps + errR.eps,
+                              (1 - errL.eps) * (1 - errR.eps))
+        return U_f, np.asarray(S), VH_f, err, S
+
+    def mix_rho(self, engine, theta, i0, update_LP, update_RP):
+        raise NotImplementedError
+
+
+
+def _isometry_with_complement(M, side='left'):
+    """Full left-basis of M = A^dag theta: ``(U_full, S_padded, C)``.
+
+    ``M`` is a 2-leg Array (K x n) of norm 1.  Returns ``U_full`` (K x K unitary,
+    block-diagonal per charge sector, first columns = left singular vectors of M),
+    ``S_padded`` (K values: singular values of M padded with exact zeros), and
+    ``C = U_full^dag M`` whose rows beyond the rank are zero.  With ``side='right'``
+    everything is mirrored for the right basis (``C = M V_full``).
+    """
+    if side == 'right':
+        Mt = M.transpose([1, 0])
+        V_full, S_pad, Ct = _isometry_with_complement(Mt, 'left')
+        C = Ct.transpose([1, 0])
+        C.iset_leg_labels(['vL', 'vR'])
+        return V_full, S_pad, C
+    leg = M.legs[0]
+    chinfo = M.chinfo
+    # group stored blocks by row sector
+    by_row = {}
+    for bi, row in enumerate(M._qdata):
+        by_row.setdefault(int(row[0]), []).append(bi)
+    rows_u = []
+    blocks_u = []
+    s_parts = []
+    charges = []
+    sizes = []
+    xp_np = np
+    for qi in range(leg.block_number):
+        m = int(leg.slices[qi + 1] - leg.slices[qi])
+        q_row = chinfo.make_valid(leg.charges[qi] * leg.qconj)
+        if qi in by_row:
+            sub = np.concatenate([np.asarray(M._data[bi]) for bi in by_row[qi]],
+                                 axis=1)
+            u, s, vh = np.linalg.svd(sub, full_matrices=True)
+            k = min(sub.shape)
+            s_full = np.zeros(m)
+            s_full[:k] = s
+        else:
+            u = np.eye(m)
+            s_full = np.zeros(m)
+        inner_idx = len(charges)
+        rows_u.append((qi, inner_idx))
+        blocks_u.append(u)
+        s_parts.append(s_full)
+        charges.append(q_row)   # inner charge: qconj -1 with charge q_row
+        sizes.append(m)
+    slices = np.concatenate([[0], np.cumsum(sizes)])
+    from ..linalg.charges import LegCharge, QTYPE
+    leg_inner = LegCharge(chinfo, slices,
+                          np.array(charges, QTYPE).reshape(len(charges),
+                                                           chinfo.qnumber),
+                          -1)
+    U_full = npc.Array([leg, leg_inner], M.dtype, None, [None, None])
+    U_full._set_blocks(np.array(rows_u, QTYPE).reshape(len(rows_u), 2),
+                       [b.astype(M.dtype) for b in blocks_u])
+    S_pad = np.concatenate(s_parts) if s_parts else np.zeros(0)
+    C = npc.tensordot(U_full.conj(), M, axes=[[0], [0]])
+    C.iset_leg_labels(['vL', 'vR'])
+    return U_full, S_pad, C
+
+
+class SubspaceExpansion(Mixer):
+    """Mixer for single-site DMRG: expand the kept space with env-channel directions.
+
+    Reference: ``tenpy/algorithms/mps_common.py:2082``.
+    """
+
+    can_decompose_theta = True
+    update_sites = 1
+
+    @staticmethod
+    def _trunc(engine):
+        return engine.trunc_params
+
+    def perturb_svd(self, engine, theta, i0, move_right, next_B):
+        """One-site subspace expansion (theta legs (vL, p0, vR)).
+
+        Moving right: enrich the SVD's row space with the ``amp * LP W0`` channels,
+        keep the isometry from the expanded SVD, and recover the bond matrix by
+        projecting the ORIGINAL theta onto the new basis (so the neighbor's legs
+        stay untouched).  Returns ``(A, S, VH_eff, err)`` / ``(U_eff, S, B, err)``.
+        """
+        amp = np.sqrt(self.current_amplitude)
+        env = engine.env
+        theta = theta.itranspose(['vL', 'p0', 'vR'])
+        if move_right:
+            LP = env.get_LP(i0)
+            W0 = env.H.get_W(i0).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+            expand = npc.tensordot(LP, theta, axes=[['vR'], ['vL']])
+            expand = npc.tensordot(expand, W0, axes=[['wR', 'p0'], ['wL', 'p0*']])
+            expand = expand.combine_legs([['wR', 'vR']], qconj=[-1])
+            expand.ireplace_labels(['vR*', '(wR.vR)'], ['vL', 'vR'])
+            expand = (expand * amp).itranspose(['vL', 'p0', 'vR'])
+            theta_ex = npc.concatenate([theta, expand], axis='vR')
+            theta_c = theta_ex.combine_legs([['vL', 'p0']], qconj=[+1])
+            U, S_mix, VH, err, renorm = svd_theta(theta_c, self._trunc(engine))
+            A = U.split_legs([0])
+            # Bond tensor in the enriched basis from the ORIGINAL theta.  Rotate A into
+            # the left-singular basis of M (padded with its orthogonal complement): the
+            # stored Schmidt values are then the TRUE singular values padded with exact
+            # zeros, keeping all form conversions well-conditioned while the enriched
+            # directions stay available (with zero weight) for the next local update.
+            M = npc.tensordot(A.conj(), theta, axes=[['vL*', 'p0*'], ['vL', 'p0']])
+            M.iset_leg_labels(['vL', 'vR'])
+            M = M / max(npc.norm(M), 1e-300)
+            U_full, S_pad, C = _isometry_with_complement(M, 'left')
+            # theta = A M = (A U_full) C
+            A_f = npc.tensordot(A, U_full, axes=[['vR'], [0]])
+            A_f.iset_leg_labels(['vL', 'p0', 'vR'])
+            return A_f, S_pad, C, err
+        else:
+            RP = env.get_RP(i0)
+            W0 = env.H.get_W(i0).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+            expand = npc.tensordot(theta, RP, axes=[['vR'], ['vL']])
+            expand = npc.tensordot(expand, W0, axes=[['wL', 'p0'], ['wR', 'p0*']])
+            expand = expand.combine_legs([['wL', 'vL']], qconj=[+1])
+            expand.ireplace_label('(wL.vL)', 'vL')
+            expand.ireplace_label('vL*', 'vR')
+            expand = (expand * amp).itranspose(['vL', 'p0', 'vR'])
+            theta_ex = npc.concatenate([theta, expand], axis='vL')
+            theta_c = theta_ex.combine_legs([['p0', 'vR']], qconj=[-1])
+            theta_c.itranspose(['vL', '(p0.vR)'])
+            U, S_mix, VH, err, renorm = svd_theta(theta_c, self._trunc(engine))
+            B = VH.split_legs([1])
+            M = npc.tensordot(theta, B.conj(), axes=[['p0', 'vR'], ['p0*', 'vR*']])
+            M.iset_leg_labels(['vL', 'vR'])
+            M = M / max(npc.norm(M), 1e-300)
+            V_full, S_pad, C = _isometry_with_complement(M, 'right')
+            # theta = M B = C (V_full^T B)
+            B_f = npc.tensordot(V_full, B, axes=[[0], ['vL']])
+            B_f.iset_leg_labels(['vL', 'p0', 'vR'])
+            return C, S_pad, B_f, err
+
+
+# ======================================================================== sweeps
+class Sweep(Algorithm):
+    """Generic L->R->L sweeps with environment updates and effective Hamiltonians.
+
+    Options: ``combine`` (False), ``lanczos_params``, ``trunc_params``, ``chi_list``,
+    ``mixer``, ``mixer_params``, ``start_env`` (0).
+    Reference: ``tenpy/algorithms/mps_common.py:60``.
+    """
+
+    EffectiveH = None
+    DefaultMixer = None
+    use_mixer_by_default = False
+
+    def __init__(self, psi, model, options, *, orthogonal_to=None, **kwargs):
+        if not hasattr(self, 'EffectiveH') or self.EffectiveH is None:
+            raise NotImplementedError(f"{self.__class__.__name__} needs EffectiveH")
+        super().__init__(psi, model, options, **kwargs)
+        options = self.options
+        self.combine = options.get('combine', False, bool)
+        self.finite = self.psi.finite
+        self.lanczos_params = options.subconfig('lanczos_params')
+        self.mixer = None
+        self.env = None
+        self.ortho_to_envs = []
+        self.init_env(model, resume_data=self.resume_data,
+                      orthogonal_to=orthogonal_to)
+        self.i0 = 0
+        self.move_right = True
+        self.update_LP_RP = (True, False)
+        self.sweeps = 0
+        self.time0 = time.time()
+        self.trunc_err_list = []
+        self.e_L = self.e_R = None
+
+    @property
+    def n_optimize(self):
+        return self.EffectiveH.length
+
+    @property
+    def S_inv_cutoff(self):
+        return 1e-15
+
+    def init_env(self, model=None, resume_data=None, orthogonal_to=None):
+        """(Re)build the MPO environment. Reference: ``mps_common.py:190``."""
+        H = model.H_MPO if model is not None else self.env.H
+        if resume_data is None:
+            resume_data = {}
+        init_env_data = resume_data.get('init_env_data', {})
+        if not self.psi.finite:
+            start_env = self.options.get('start_env', 1, int)
+            init_env_data.setdefault('start_env_sites', start_env)
+        cache = self.cache.create_subcache('env')
+        self.env = MPOEnvironment(self.psi, H, self.psi, cache=cache, **init_env_data)
+        if orthogonal_to:
+            self.ortho_to_envs = [MPSEnvironment(self.psi, ortho)
+                                  for ortho in orthogonal_to]
+        self.reset_stats()
+
+    def reset_stats(self, resume_data=None):
+        self.sweeps = 0
+        self.shelve = False
+        self.chi_list = self.options.get('chi_list', None)
+        if self.chi_list is not None:
+            self.chi_list = dict(self.chi_list)
+
+    def sweep(self, optimize=True):
+        """One sweep left->right->left; returns max truncation error.
+
+        Reference: ``mps_common.py:345``."""
+        self.trunc_err_list = []
+        schedule = self.get_sweep_schedule()
+        for i0, move_right, update_LP_RP in schedule:
+            self.i0 = i0
+            self.move_right = move_right
+            self.update_LP_RP = update_LP_RP
+            self._cache_optimize()
+            theta = self.prepare_update_local()
+            update_data = self.update_local(theta, optimize=optimize)
+            self.update_env(**update_data)
+            self.post_update_local(**update_data)
+            self.free_no_longer_needed_envs()
+        if optimize:
+            self.sweeps += 1
+            if self.chi_list is not None:
+                new_chi = self.chi_list.get(self.sweeps, None)
+                if new_chi is not None:
+                    self.trunc_params['chi_max'] = new_chi
+                    logger.info("sweep %d: setting chi_max=%d", self.sweeps, new_chi)
+            self.mixer_cleanup_after_sweep()
+        return np.max(self.trunc_err_list) if self.trunc_err_list else 0.
+
+    def get_sweep_schedule(self):
+        """(i0, move_right, (update_LP, update_RP)) sequence (reference :419)."""
+        L = self.psi.L
+        n = self.EffectiveH.length
+        if self.finite:
+            assert L > n - 1
+            if n == 0:
+                i0s = list(range(1, L)) + list(range(L - 1, 0, -1))
+                move_right = [True] * (L - 1) + [False] * (L - 1)
+                update_LP_RP = [[True, False]] * (L - 1) + [[False, True]] * (L - 1)
+                return zip(i0s, move_right, update_LP_RP)
+            i0s = list(range(0, L - n + 1)) + list(range(L - n, -1, -1)) \
+                if n == 1 else list(range(0, L - n)) + list(range(L - n, 0, -1))
+            if n == 1:
+                i0s = list(range(0, L)) + list(range(L - 1, -1, -1))
+                move_right = [True] * L + [False] * L
+                update_LP_RP = [[True, False]] * L + [[False, True]] * L
+            else:
+                move_right = [True] * (L - n) + [False] * (L - n)
+                update_LP_RP = [[True, False]] * (L - n) + [[False, True]] * (L - n)
+        elif n == 2:
+            i0s = list(range(0, L)) + list(range(L, 0, -1))
+            move_right = [True] * L + [False] * L
+            update_LP_RP = ([[True, True]] * 2 + [[True, False]] * (L - 2) +
+                            [[True, True]] * 2 + [[False, True]] * (L - 2))
+        elif n == 1:
+            i0s = list(range(0, L)) + list(range(L, 0, -1))
+            move_right = [True] * L + [False] * L
+            update_LP_RP = ([[True, True]] + [[True, False]] * (L - 1) +
+                            [[True, True]] + [[False, True]] * (L - 1))
+        else:
+            raise ValueError("n_optimize not in (1, 2)")
+        return zip(i0s, move_right, update_LP_RP)
+
+    def _cache_optimize(self):
+        i0 = self.i0
+        move_right = self.move_right
+        if self.n_optimize == 2:
+            kwargs = {'short_term_LP': [i0, i0 + 1], 'short_term_RP': [i0, i0 + 1]}
+            if move_right:
+                kwargs['preload_RP'] = i0 + 2
+            elif move_right is False:
+                kwargs['preload_LP'] = i0 - 1
+        else:
+            if move_right:
+                kwargs = {'short_term_LP': [i0, i0 + 1], 'short_term_RP': [i0],
+                          'preload_RP': i0 + 1}
+            elif move_right is None:
+                kwargs = {'short_term_LP': [i0], 'short_term_RP': [i0]}
+            else:
+                kwargs = {'short_term_LP': [i0], 'short_term_RP': [i0 - 1, i0],
+                          'preload_LP': i0 - 1}
+        self.env.cache_optimize(**kwargs)
+
+    def prepare_update_local(self):
+        """Build eff_H and the current theta guess. Reference: ``mps_common.py:498``."""
+        self.make_eff_H()
+        theta = self.psi.get_theta(self.i0, n=self.n_optimize, cutoff=self.S_inv_cutoff)
+        theta = self.eff_H.combine_theta(theta)
+        return theta
+
+    def make_eff_H(self):
+        self.eff_H = self.EffectiveH(self.env, self.i0, self.combine, self.move_right)
+        if len(self.ortho_to_envs) > 0:
+            self._wrap_ortho_eff_H()
+
+    def _wrap_ortho_eff_H(self):
+        """Project out the orthogonal states (excited-state search).
+
+        Reference: ``mps_common.py:524``."""
+        ortho_vecs = []
+        i0 = self.i0
+        n = self.eff_H.length
+        for o_env in self.ortho_to_envs:
+            theta = o_env.ket.get_theta(i0, n=n)
+            LP = o_env.get_LP(i0, store=True)
+            RP = o_env.get_RP(i0 + n - 1, store=True)
+            theta = npc.tensordot(LP, theta, axes=[['vR'], ['vL']])
+            theta = npc.tensordot(theta, RP, axes=[['vR'], ['vL']])
+            theta.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+            theta = self.eff_H.combine_theta(theta)
+            ortho_vecs.append(theta)
+        self.eff_H = OrthogonalNpcLinearOperator(self.eff_H, ortho_vecs)
+
+    def update_local(self, theta, optimize=True):
+        raise NotImplementedError
+
+    @property
+    def _all_envs(self):
+        return [self.env] + self.ortho_to_envs
+
+    def update_env(self, **update_data):
+        """Update environments after the local update, invalidating stale tensors.
+
+        After changing sites ``i0 .. i0+n-1``, every cached ``LP[j]`` with ``j > i0``
+        and ``RP[j]`` with ``j < i0+n-1`` was computed from outdated tensors and must
+        be dropped (the reference's ``free_no_longer_needed_envs``, mps_common.py:614,
+        relies on the same invariant).
+        """
+        i0 = self.i0
+        n = self.n_optimize
+        L = self.psi.L
+        update_LP, update_RP = self.update_LP_RP
+        eff_H = self.eff_H
+        base_H = eff_H
+        while not isinstance(base_H, EffectiveH) and hasattr(base_H, 'orig_operator'):
+            base_H = base_H.orig_operator
+        # Finite bc: drop stale environments (those computed from pre-update tensors).
+        # Infinite bc: keep them -- iDMRG environments intentionally 'age' towards the
+        # fixed point, reusing previous-iteration tensors (reference dmrg.py iDMRG).
+        if self.finite:
+            for env in self._all_envs:
+                for j in range(i0 + 1, L):
+                    env.del_LP(j)
+                for j in range(0, i0 + n - 1):
+                    env.del_RP(j)
+        # boundary guards (finite bc): LP[L] / RP[-1] don't exist -- and the mod-L
+        # keyed storage would silently clobber LP[0] / RP[L-1]
+        if self.finite and i0 + 1 > L - 1:
+            update_LP = False
+        if self.finite and i0 + n - 2 < 0:
+            update_RP = False
+        if update_LP:
+            base_H.update_LP(self.env, i0 + 1, update_data.get('U', None))
+            for o_env in self.ortho_to_envs:
+                o_env.get_LP(i0 + 1, store=True)
+        if update_RP:
+            base_H.update_RP(self.env, i0 + n - 2, update_data.get('VH', None))
+            for o_env in self.ortho_to_envs:
+                o_env.get_RP(i0 + n - 2, store=True)
+
+    def post_update_local(self, err=None, **update_data):
+        self.trunc_err_list.append(err.eps if err is not None else 0.)
+
+    def free_no_longer_needed_envs(self):
+        """Stale envs are already dropped in :meth:`update_env`."""
+        return
+
+    # ---------------------------------------------------------------- mixer
+    def mixer_activate(self):
+        """Turn on the mixer if configured. Reference: ``mps_common.py:653``."""
+        use_mixer = self.options.get('mixer', self.use_mixer_by_default)
+        if use_mixer:
+            if use_mixer is True:
+                MixerCls = self.DefaultMixer
+            elif isinstance(use_mixer, str):
+                from ..tools.misc import find_subclass
+                MixerCls = find_subclass(Mixer, use_mixer)
+            else:
+                MixerCls = use_mixer
+            if MixerCls is None:
+                return
+            mixer_params = self.options.subconfig('mixer_params')
+            self.mixer = MixerCls(mixer_params, self.sweeps)
+
+    def mixer_deactivate(self):
+        if self.mixer is not None:
+            logger.info("disable mixer after %d sweeps", self.sweeps)
+        self.mixer = None
+
+    def mixer_cleanup_after_sweep(self):
+        if self.mixer is not None:
+            mixer = self.mixer.update_amplitude(self.sweeps)
+            if mixer is None:
+                self.mixer_deactivate()
+            else:
+                self.mixer = mixer
+
+    def mixer_cleanup(self):
+        if self.mixer is not None:
+            self.mixer_deactivate()
+
+    def get_resume_data(self, sequential_simulations=False):
+        data = super().get_resume_data(sequential_simulations)
+        data['sweeps'] = self.sweeps
+        return data
+
+    def environment_sweeps(self, N_sweeps):
+        """Sweeps that only update the environments (no local optimization)."""
+        if N_sweeps <= 0:
+            return
+        for _ in range(N_sweeps):
+            self.sweep(optimize=False)
+
+
+class IterativeSweeps(Sweep):
+    """run() = loop of run_iteration() until stopping_criterion.
+
+    Reference: ``tenpy/algorithms/mps_common.py:773``.
+    """
+
+    def run(self):
+        self.shelve = False
+        self.pre_run_initialize()
+        is_first_sweep = True
+        result = None
+        while True:
+            iteration_start_time = time.time()
+            if self.stopping_criterion(iteration_start_time=iteration_start_time):
+                break
+            if not is_first_sweep:
+                self.checkpoint.emit(self)
+            result = self.run_iteration()
+            self.status_update(iteration_start_time=iteration_start_time)
+            is_first_sweep = False
+        self.post_run_cleanup()
+        return result
+
+    def pre_run_initialize(self):
+        self.time0 = time.time()
+
+    def run_iteration(self):
+        raise NotImplementedError
+
+    def status_update(self, iteration_start_time):
+        pass
+
+    def is_converged(self):
+        raise NotImplementedError
+
+    def stopping_criterion(self, iteration_start_time):
+        """Default: min/max sweeps, max_hours, is_converged.
+
+        Reference: ``mps_common.py:869``."""
+        options = self.options
+        min_sweeps = options.get('min_sweeps', 1, int)
+        max_sweeps = options.get('max_sweeps', 1000, int)
+        max_hours = options.get('max_hours', 24 * 365, 'real')
+        if self.sweeps >= max_sweeps:
+            return True
+        if self.sweeps >= min_sweeps and self.is_converged():
+            if self.mixer is None:
+                return True
+            else:
+                logger.info("converged with mixer on: disable and continue")
+                self.mixer_deactivate()
+                return False
+        if time.time() - self.time0 > max_hours * 3600:
+            self.shelve = True
+            logger.warning("max_hours exceeded: shelving")
+            return True
+        return False
+
+    def post_run_cleanup(self):
+        self.mixer_cleanup()
+
+
+# ======================================================================== compression
+class VariationalCompression(IterativeSweeps):
+    """Compress an MPS by variationally optimizing overlap with (a copy of) itself.
+
+    Options: ``trunc_params``, ``N_sweeps`` (2), ``tol_theta_diff`` (1e-8).
+    Reference: ``tenpy/algorithms/mps_common.py:2204``.
+    """
+
+    EffectiveH = TwoSiteH  # two-site updates (only env structure matters)
+
+    def __init__(self, psi, options, resume_data=None):
+        self.options = asConfig(options, self.__class__.__name__)
+        self.psi = psi
+        self.old_psi = psi.copy()
+        self.model = None
+        self.trunc_params = self.options.subconfig('trunc_params')
+        self.renormalize = []
+        self.finite = psi.finite
+        from ..tools.cache import DictCache
+        self.cache = DictCache.trivial()
+        self.checkpoint = __import__(
+            'tenpy_tpu.tools.events', fromlist=['EventHandler']).EventHandler()
+        self.env = MPSEnvironment(self.psi, self.old_psi)
+        self.sweeps = 0
+        self.mixer = None
+        self.time0 = time.time()
+        self.trunc_err_list = []
+        self._theta_diff = None
+
+    def run(self):
+        N_sweeps = self.options.get('N_sweeps', 2, int)
+        self.tol_theta_diff = self.options.get('tol_theta_diff', 1e-8, 'real')
+        trunc_err = TruncationError()
+        for n in range(N_sweeps):
+            max_err = self.sweep()
+            trunc_err = TruncationError(max_err, 1. - 2. * max_err)
+            self.sweeps += 1
+            if self._theta_diff is not None and self._theta_diff < self.tol_theta_diff:
+                break
+        if self.psi.finite:
+            self.psi.norm *= max(self.renormalize, default=1.)
+        return trunc_err
+
+    def sweep(self, optimize=True):
+        self.renormalize = []
+        self._theta_diff = 0.
+        self.trunc_err_list = []
+        L = self.psi.L
+        bonds = range(L - 1) if self.finite else range(L)
+        # right sweep
+        for i0 in list(bonds) + list(reversed(list(bonds))):
+            self.update_bond(i0)
+        return np.max(self.trunc_err_list) if self.trunc_err_list else 0.
+
+    def update_bond(self, i0):
+        LP = self.env.get_LP(i0)
+        RP = self.env.get_RP(i0 + 1)
+        th = self.old_psi.get_theta(i0, n=2)
+        th = npc.tensordot(LP, th, axes=[['vR'], ['vL']])
+        th = npc.tensordot(th, RP, axes=[['vR'], ['vL']])
+        th.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+        th = th.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
+        U, S, VH, err, renorm = svd_theta(th, self.trunc_params)
+        self.trunc_err_list.append(err.eps)
+        self.renormalize.append(renorm)
+        A = U.split_legs([0]).ireplace_label('p0', 'p')
+        B = VH.split_legs([1]).ireplace_label('p1', 'p')
+        self.psi.set_B(i0, A, 'A')
+        self.psi.set_SR(i0, S)
+        self.psi.set_B(i0 + 1, B, 'B')
+        self.env.del_LP(i0 + 1)
+        self.env.del_RP(i0)
+
+    def is_converged(self):
+        return False
+
+    def run_iteration(self):
+        return self.sweep()
+
+
+class VariationalApplyMPO(VariationalCompression):
+    """Variationally compute ``U|psi>`` for an MPO U.
+
+    Reference: ``tenpy/algorithms/mps_common.py:2383``.
+    """
+
+    def __init__(self, psi, U_MPO, options, resume_data=None):
+        super().__init__(psi, options, resume_data)
+        self.env = MPOEnvironment(self.psi, U_MPO, self.old_psi)
+
+    def update_bond(self, i0):
+        env = self.env
+        LP = env.get_LP(i0)
+        RP = env.get_RP(i0 + 1)
+        W0 = env.H.get_W(i0).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+        W1 = env.H.get_W(i0 + 1).replace_labels(['p', 'p*'], ['p1', 'p1*'])
+        th = self.old_psi.get_theta(i0, n=2)
+        th = npc.tensordot(LP, th, axes=[['vR'], ['vL']])
+        th = npc.tensordot(th, W0, axes=[['wR', 'p0'], ['wL', 'p0*']])
+        th = npc.tensordot(th, W1, axes=[['wR', 'p1'], ['wL', 'p1*']])
+        th = npc.tensordot(th, RP, axes=[['wR', 'vR'], ['wL', 'vL']])
+        th.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+        th = th.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
+        U, S, VH, err, renorm = svd_theta(th, self.trunc_params)
+        self.trunc_err_list.append(err.eps)
+        self.renormalize.append(renorm)
+        A = U.split_legs([0]).ireplace_label('p0', 'p')
+        B = VH.split_legs([1]).ireplace_label('p1', 'p')
+        self.psi.set_B(i0, A, 'A')
+        self.psi.set_SR(i0, S)
+        self.psi.set_B(i0 + 1, B, 'B')
+        env.del_LP(i0 + 1)
+        env.del_RP(i0)

@@ -34,6 +34,36 @@ import jax.numpy as jnp
 
 from .charges import QTYPE, ChargeInfo, LegCharge, LegPipe
 
+
+def _use_jnp(*xs):
+    """True if any operand is a JAX value (device array or tracer).
+
+    Block payloads are numpy on the host path (fast eager math, no XLA compiles) and
+    jax arrays/tracers inside jitted graphs; every blockwise op dispatches on this.
+    """
+    for x in xs:
+        if isinstance(x, (jax.Array, jax.core.Tracer)):
+            return True
+    return False
+
+
+def _xp(*xs):
+    return jnp if _use_jnp(*xs) else np
+
+
+def _set_slice(arr, sl, val):
+    if _use_jnp(arr, val):
+        return arr.at[sl].set(val)
+    arr[sl] = val
+    return arr
+
+
+def _add_slice(arr, sl, val):
+    if _use_jnp(arr, val):
+        return arr.at[sl].add(val)
+    arr[sl] += val
+    return arr
+
 __all__ = [
     'Array', 'zeros', 'ones', 'eye_like', 'diag',
     'concatenate', 'grid_concat', 'grid_outer',
@@ -194,7 +224,8 @@ class Array:
     @classmethod
     def from_ndarray_trivial(cls, data_flat, dtype=None, labels=None):
         """Dense array -> Array with trivial (chargeless) legs."""
-        data_flat = jnp.asarray(data_flat)
+        if not _use_jnp(data_flat):
+            data_flat = np.asarray(data_flat)
         if dtype is not None:
             data_flat = data_flat.astype(dtype)
         chinfo = ChargeInfo.trivial()
@@ -214,7 +245,8 @@ class Array:
 
         Reference: ``tenpy/linalg/np_conserved.py`` ``Array.from_ndarray``.
         """
-        data_flat = jnp.asarray(data_flat)
+        if not _use_jnp(data_flat):
+            data_flat = np.asarray(data_flat)
         if dtype is not None:
             data_flat = data_flat.astype(dtype)
         legs = tuple(legcharges)
@@ -234,10 +266,10 @@ class Array:
                 qdata.append(row)
                 blocks.append(block)
                 if kept is None:
-                    kept = float(jnp.sum(jnp.abs(block) ** 2))
+                    kept = float((abs(block) ** 2).sum())
                 else:
-                    kept += float(jnp.sum(jnp.abs(block) ** 2))
-        total = float(jnp.sum(jnp.abs(data_flat) ** 2))
+                    kept += float((abs(block) ** 2).sum())
+        total = float((abs(data_flat) ** 2).sum())
         dropped = total - (kept or 0.0)
         tol = (cutoff if cutoff is not None else 1e-12) ** 2 * max(total, 1e-300)
         if dropped > tol and total > 0:
@@ -266,7 +298,8 @@ class Array:
                 block = func(*func_args, **{shape_kw: shape})
             else:
                 block = func(shape, *func_args)
-            block = jnp.asarray(block)
+            if not _use_jnp(block):
+                block = np.asarray(block)
             if dtype is not None:
                 block = block.astype(dtype)
             qdata.append(row)
@@ -307,11 +340,12 @@ class Array:
 
     # ------------------------------------------------------------------ dense conversion
     def to_ndarray(self):
-        """Convert to a dense jnp array (zeros outside stored blocks)."""
-        out = jnp.zeros(self.shape, self.dtype)
+        """Convert to a dense array (zeros outside stored blocks)."""
+        xp = _xp(*self._data)
+        out = xp.zeros(self.shape, self.dtype)
         for row, block in zip(self._qdata, self._data):
             sl = tuple(l.get_slice(s) for l, s in zip(self.legs, row))
-            out = out.at[sl].set(block.astype(self.dtype))
+            out = _set_slice(out, sl, block.astype(self.dtype))
         return out
 
     def to_numpy(self):
@@ -325,7 +359,7 @@ class Array:
         if idx is not None:
             return self._data[idx]
         if insert_zeros:
-            return jnp.zeros(_block_shape(self.legs, row), self.dtype)
+            return _xp(*self._data).zeros(_block_shape(self.legs, row), self.dtype)
         return None
 
     def _find_block(self, row):
@@ -349,7 +383,9 @@ class Array:
         row = np.asarray(qindices, QTYPE)
         if tuple(_row_qtotal(self.legs, row)) != self.qtotal:
             raise ValueError("block violates charge rule")
-        block = jnp.asarray(block).astype(self.dtype)
+        if not _use_jnp(block):
+            block = np.asarray(block)
+        block = block.astype(self.dtype)
         if block.shape != _block_shape(self.legs, row):
             raise ValueError(f"block shape {block.shape} != {_block_shape(self.legs, row)}")
         idx = self._find_block(row)
@@ -374,7 +410,7 @@ class Array:
             within.append(r)
         blk = self.get_block(row)
         if blk is None:
-            return jnp.zeros((), self.dtype)
+            return np.zeros((), self.dtype)
         return blk[tuple(within)]
 
     # ------------------------------------------------------------------ sanity
@@ -411,7 +447,7 @@ class Array:
         self.legs = tuple(self.legs[p] for p in perm)
         self._labels = tuple(self._labels[p] for p in perm)
         qdata = self._qdata[:, perm]
-        data = [jnp.transpose(b, perm) for b in self._data]
+        data = [b.transpose(perm) for b in self._data]
         self._set_blocks(qdata, data)
         return self
 
@@ -425,7 +461,7 @@ class Array:
         self.qtotal = tuple(int(q) for q in self.chinfo.make_valid(
             -np.array(self.qtotal, QTYPE)))
         if complex_conj and jnp.issubdtype(self.dtype, jnp.complexfloating):
-            self._data = [jnp.conj(b) for b in self._data]
+            self._data = [b.conj() for b in self._data]
         self._labels = tuple(_conj_label(l) for l in self._labels)
         return self
 
@@ -435,7 +471,7 @@ class Array:
     def complex_conj(self):
         res = self.copy(deep=False)
         if jnp.issubdtype(self.dtype, jnp.complexfloating):
-            res._data = [jnp.conj(b) for b in res._data]
+            res._data = [b.conj() for b in res._data]
         return res
 
     @property
@@ -487,9 +523,9 @@ class Array:
                 a = self._data[rows[r]] if r in rows else None
                 b = other._data[rows_o[r]] if r in rows_o else None
                 if a is None:
-                    a = jnp.zeros(b.shape, dtype)
+                    a = _xp(b).zeros(b.shape, dtype)
                 if b is None:
-                    b = jnp.zeros(a.shape, dtype)
+                    b = _xp(a).zeros(a.shape, dtype)
                 data.append(op(a.astype(dtype), b.astype(dtype)))
             res = Array(self.legs, dtype, self.qtotal, self._labels)
             res._set_blocks(np.array(all_rows, QTYPE).reshape(len(all_rows), self.rank),
@@ -565,7 +601,8 @@ class Array:
     def iscale_axis(self, s, axis=-1):
         """Scale leg ``axis`` by the (dense, full-leg-length) vector ``s``."""
         axis = self.get_leg_index(axis)
-        s = jnp.asarray(s)
+        if not _use_jnp(s, *self._data):
+            s = np.asarray(s)
         leg = self.legs[axis]
         if s.shape != (leg.ind_len,):
             raise ValueError("scale vector length mismatch")
@@ -615,7 +652,10 @@ class Array:
             for ax in axes:
                 bm = block_masks[ax][row[ax]]
                 idx = np.nonzero(bm)[0]
-                block = jnp.take(block, jnp.asarray(idx), axis=ax)
+                if _use_jnp(block):
+                    block = jnp.take(block, jnp.asarray(idx), axis=ax)
+                else:
+                    block = np.take(block, idx, axis=ax)
             qdata.append(new_row)
             data.append(block)
         self.legs = tuple(legs)
@@ -745,7 +785,8 @@ class Array:
                     [self._labels[i] for i in keep])
         qdata = self._qdata[:, keep] if len(self._qdata) else \
             np.zeros((0, len(keep)), QTYPE)
-        data = [jnp.squeeze(b, axis=tuple(axes)) for b in self._data]
+        data = [b.reshape([d for k, d in enumerate(b.shape) if k not in axes])
+                for b in self._data]
         res._set_blocks(qdata, data)
         return res
 
@@ -760,7 +801,8 @@ class Array:
             qdata = np.insert(self._qdata, axis, 0, axis=1)
         else:
             qdata = np.zeros((0, self.rank + 1), QTYPE)
-        data = [jnp.expand_dims(b, axis) for b in self._data]
+        data = [b.reshape(b.shape[:axis] + (1,) + b.shape[axis:])
+                for b in self._data]
         res._set_blocks(qdata, data)
         return res
 
@@ -769,14 +811,14 @@ class Array:
             raise ValueError("not a scalar")
         if self._data:
             return self._data[0].reshape(())
-        return jnp.zeros((), self.dtype)
+        return np.zeros((), self.dtype)
 
     # drop tiny blocks
     def ipurge_zeros(self, cutoff=1e-15, norm_order=None):
         keep_rows = []
         keep_data = []
         for row, block in zip(self._qdata, self._data):
-            if float(jnp.max(jnp.abs(block))) > cutoff:
+            if float(abs(block).max()) > cutoff:
                 keep_rows.append(row)
                 keep_data.append(block)
         self._set_blocks(np.array(keep_rows, QTYPE).reshape(len(keep_rows), self.rank),
@@ -856,23 +898,24 @@ def eye_like(a, axis=0, labels=None):
 def diag(s, leg, dtype=None, labels=None):
     """Square diagonal Array with legs ``[leg, leg.conj()]``."""
     scalar = np.isscalar(s) or np.ndim(s) == 0
-    if not scalar:
-        s = jnp.asarray(s)
-        if s.shape != (leg.ind_len,):
-            raise ValueError("diagonal length mismatch")
+    if not scalar and not _use_jnp(s):
+        s = np.asarray(s)
+    if not scalar and s.shape != (leg.ind_len,):
+        raise ValueError("diagonal length mismatch")
     if dtype is None:
-        dtype = jnp.result_type(s) if not scalar else jnp.result_type(type(s))
-        if dtype == jnp.int64 or dtype == jnp.int32:
-            dtype = jnp.float64
+        dtype = np.result_type(s) if not scalar else np.result_type(type(s))
+        if dtype == np.int64 or dtype == np.int32:
+            dtype = np.float64
+    xp = _xp(s) if not scalar else np
     res = Array([leg, leg.conj()], dtype, None, labels)
     qdata = []
     data = []
     for qi in range(leg.block_number):
         n = int(leg.slices[qi + 1] - leg.slices[qi])
         if scalar:
-            block = s * jnp.eye(n, dtype=dtype)
+            block = s * xp.eye(n, dtype=dtype)
         else:
-            block = jnp.diag(s[leg.get_slice(qi)].astype(dtype))
+            block = xp.diag(s[leg.get_slice(qi)].astype(dtype))
         qdata.append((qi, qi))
         data.append(block)
     res._set_blocks(np.array(qdata, QTYPE).reshape(len(qdata), 2), data)
@@ -1093,13 +1136,15 @@ def tensordot(a, b, axes=2):
 
     if len(out_legs) == 0:
         # full contraction -> scalar
-        total = jnp.zeros((), dtype)
+        xp = _xp(*at._data, *bt._data)
+        total = xp.zeros((), dtype)
         rows_b = {tuple(r): i for i, r in enumerate(bt._qdata)}
         for i, row in enumerate(at._qdata):
             j = rows_b.get(tuple(row))
             if j is None:
                 continue
-            total = total + jnp.sum(at._data[i].astype(dtype) * bt._data[j].astype(dtype))
+            total = total + (at._data[i].astype(dtype) *
+                             bt._data[j].astype(dtype)).sum()
         return total
 
     res = Array(out_legs, dtype, qtotal, out_labels)
@@ -1113,22 +1158,40 @@ def tensordot(a, b, axes=2):
 
 
 def _execute_plan(plan, a_data, b_data, dtype, n_axes, ka, ra, rb):
-    """Run the batched GEMM groups of a plan over concrete block data."""
+    """Run the batched GEMM groups of a plan over concrete block data.
+
+    On the jit path this lowers to shape-bucketed batched matmuls on the MXU; on the
+    host path it runs the same batches through numpy BLAS (no XLA dispatch).
+    """
+    use_jax = _use_jnp(*a_data, *b_data)
+    xp = jnp if use_jax else np
     partial = [None] * plan.n_out
     for (m, k, n), a_idx, b_idx, o_idx in plan.groups:
         if len(a_idx) == 1:
             am = a_data[int(a_idx[0])].reshape(m, k).astype(dtype)
             bm = b_data[int(b_idx[0])].reshape(k, n).astype(dtype)
-            c = jnp.matmul(am, bm)[None]
+            c = xp.matmul(am, bm)[None]
         else:
-            am = jnp.stack([a_data[int(i)].reshape(m, k) for i in a_idx]).astype(dtype)
-            bm = jnp.stack([b_data[int(j)].reshape(k, n) for j in b_idx]).astype(dtype)
-            c = jnp.matmul(am, bm)
+            am = xp.stack([a_data[int(i)].reshape(m, k)
+                           for i in a_idx]).astype(dtype)
+            bm = xp.stack([b_data[int(j)].reshape(k, n)
+                           for j in b_idx]).astype(dtype)
+            c = xp.matmul(am, bm)
         # sum contributions landing on the same output block
         uniq, inv = np.unique(o_idx, return_inverse=True)
         if len(uniq) < len(o_idx):
-            c = jax.ops.segment_sum(c, jnp.asarray(inv), num_segments=len(uniq))
-        for pos, oi in enumerate(uniq):
+            # segment-sum reorders the batch to match the sorted `uniq`
+            if use_jax:
+                c = jax.ops.segment_sum(c, jnp.asarray(inv), num_segments=len(uniq))
+            else:
+                acc = np.zeros((len(uniq),) + c.shape[1:], dtype=c.dtype)
+                np.add.at(acc, inv, c)
+                c = acc
+            pairs = enumerate(uniq)
+        else:
+            # no duplicates: the batch stays in task order -- pair with o_idx, NOT uniq
+            pairs = enumerate(o_idx)
+        for pos, oi in pairs:
             blk = c[pos]
             if partial[oi] is None:
                 partial[oi] = blk
@@ -1180,7 +1243,8 @@ def outer(a, b):
     for ra, ba in zip(a._qdata, a._data):
         for rb, bb in zip(b._qdata, b._data):
             qdata.append(np.concatenate([ra, rb]))
-            data.append(jnp.tensordot(ba.astype(dtype), bb.astype(dtype), axes=0))
+            data.append(_xp(ba, bb).tensordot(ba.astype(dtype), bb.astype(dtype),
+                                              axes=0))
     res._set_blocks(np.array(qdata, QTYPE).reshape(len(qdata), len(legs)), data)
     return res
 
@@ -1194,10 +1258,11 @@ def trace(a, leg1=0, leg2=1):
     a.legs[i1].test_contractible(a.legs[i2])
     keep = [i for i in range(a.rank) if i not in (i1, i2)]
     if not keep:
-        total = jnp.zeros((), a.dtype)
+        xp = _xp(*a._data)
+        total = xp.zeros((), a.dtype)
         for row, block in zip(a._qdata, a._data):
             if row[i1] == row[i2]:
-                total = total + jnp.trace(block)
+                total = total + xp.trace(block)
         return total
     res = Array([a.legs[i] for i in keep], a.dtype, a.qtotal,
                 [a._labels[i] for i in keep])
@@ -1206,7 +1271,7 @@ def trace(a, leg1=0, leg2=1):
         if row[i1] != row[i2]:
             continue
         out_row = tuple(row[i] for i in keep)
-        tr = jnp.trace(block, axis1=i1, axis2=i2)
+        tr = _xp(block).trace(block, axis1=i1, axis2=i2)
         acc[out_row] = tr if out_row not in acc else acc[out_row] + tr
     rows = sorted(acc)
     res._set_blocks(np.array(rows, QTYPE).reshape(len(rows), len(keep)),
@@ -1280,10 +1345,11 @@ def _combine_consecutive(a, built_pipes):
         if len(entries) == 1 and all(sl[1] == shape[k] for k, sl in enumerate(entries[0][0])):
             data.append(entries[0][1].astype(a.dtype))
             continue
-        out = jnp.zeros(shape, a.dtype)
+        xp = _xp(*[blk for _, blk in entries])
+        out = xp.zeros(shape, a.dtype)
         for slabs, blk in entries:
             sl = tuple(slice(o, o + s) for o, s in slabs)
-            out = out.at[sl].set(blk.astype(a.dtype))
+            out = _set_slice(out, sl, blk.astype(a.dtype))
         data.append(out)
     res._set_blocks(np.array(rows, QTYPE).reshape(len(rows), len(new_legs)), data)
     return res
@@ -1501,10 +1567,11 @@ def grid_outer(grid, grid_legs, qtotal=None, grid_labels=None):
             out_row = tuple(grid_row) + tuple(row)
             if out_row not in acc:
                 shape = _block_shape(res.legs, out_row)
-                acc[out_row] = jnp.zeros(shape, dtype)
+                acc[out_row] = _xp(block).zeros(shape, dtype)
             sl = tuple([slice(w, w + 1) for w in within]) + \
                 tuple([slice(None)] * e.rank)
-            acc[out_row] = acc[out_row].at[sl].add(
+            acc[out_row] = _add_slice(
+                acc[out_row], sl,
                 block.reshape((1,) * ngrid + block.shape).astype(dtype))
     rows = sorted(acc)
     res._set_blocks(np.array(rows, QTYPE).reshape(len(rows), len(legs)),
@@ -1517,17 +1584,17 @@ def norm(a, ord=None, convert_to_float=True):
     """Norm of an Array (default: Frobenius). Reference: ``np_conserved.py:3852``."""
     if isinstance(a, Array):
         if ord is None or ord == 'fro' or ord == 2:
-            s = sum(float(jnp.sum(jnp.abs(b) ** 2)) for b in a._data)
+            s = sum(float((abs(b) ** 2).sum()) for b in a._data)
             return float(np.sqrt(s))
         elif ord == np.inf:
             if not a._data:
                 return 0.0
-            return max(float(jnp.max(jnp.abs(b))) for b in a._data)
+            return max(float(abs(b).max()) for b in a._data)
         elif ord == 1:
-            return sum(float(jnp.sum(jnp.abs(b))) for b in a._data)
+            return sum(float(abs(b).sum()) for b in a._data)
         else:
             raise ValueError(f"unsupported norm order {ord}")
-    return float(jnp.linalg.norm(jnp.asarray(a), ord))
+    return float(np.linalg.norm(np.asarray(a), ord))
 
 
 # ======================================================================== decompositions
@@ -1550,7 +1617,10 @@ def svd(a, full_matrices=False, compute_uv=True, cutoff=None, qtotal_LR=[None, N
         inner_labels=[None, None], inner_qconj=+1):
     """Blockwise SVD of a 2-leg Array: ``a = U @ diag(S) @ VH``.
 
-    ``S`` is returned as a plain 1-D jnp array (ordered along the new inner leg).
+    ``S`` is returned as a plain 1-D array (ordered along the new inner leg).
+    Blocks are grouped into connected components of the (row-sector, col-sector)
+    bipartite graph, so legs with duplicate charge sectors (e.g. after
+    ``concatenate``) are handled correctly.
     Reference: ``tenpy/linalg/np_conserved.py:3676`` (+ ``svd_robust.py``).
     """
     if a.rank != 2:
@@ -1558,54 +1628,121 @@ def svd(a, full_matrices=False, compute_uv=True, cutoff=None, qtotal_LR=[None, N
     chinfo = a.chinfo
     qL, qR = _split_qtotal(chinfo, a.qtotal, qtotal_LR)
     lab_L, lab_R = inner_labels
-    blocks_u, blocks_s, blocks_vh = [], [], []
+    if a.stored_blocks == 0:
+        raise ValueError("svd of array with no blocks")
+    groups = _matrix_block_components(a)
+    xp = _xp(*a._data)
+    blocks_u = []      # (row_sector, inner_idx, block)
+    blocks_vh = []     # (inner_idx, col_sector, block)
+    blocks_s = []
     inner_charges = []
     inner_sizes = []
-    rows = []
-    for row, block in zip(a._qdata, a._data):
-        m, n = block.shape
-        k = min(m, n)
-        u, s, vh = _robust_svd(block, full_matrices)
-        rows.append(row)
-        blocks_u.append(u)
-        blocks_s.append(s)
-        blocks_vh.append(vh)
-        # inner leg charge: qconj_inner * q_c  with  legs[0].qconj*q_row - q_c*? ...
-        # U has legs [a.legs[0], inner(conj side)] with qtotal qL:
-        #   legs[0].qconj * q_row + (-inner_qconj) * q_c = qL
-        q_row = a.legs[0].charges[row[0]] * a.legs[0].qconj
+    for rows, cols, idxs in groups:
+        # dense submatrix of the component
+        row_sizes = [int(a.legs[0].slices[r + 1] - a.legs[0].slices[r]) for r in rows]
+        col_sizes = [int(a.legs[1].slices[c + 1] - a.legs[1].slices[c]) for c in cols]
+        row_off = np.concatenate([[0], np.cumsum(row_sizes)])
+        col_off = np.concatenate([[0], np.cumsum(col_sizes)])
+        m, n = int(row_off[-1]), int(col_off[-1])
+        if len(idxs) == 1 and len(rows) == 1 and len(cols) == 1:
+            sub = a._data[idxs[0]]
+        else:
+            sub = xp.zeros((m, n), a.dtype)
+            rpos = {r: k for k, r in enumerate(rows)}
+            cpos = {c: k for k, c in enumerate(cols)}
+            for bi in idxs:
+                r, c = int(a._qdata[bi][0]), int(a._qdata[bi][1])
+                sl = (slice(int(row_off[rpos[r]]), int(row_off[rpos[r] + 1])),
+                      slice(int(col_off[cpos[c]]), int(col_off[cpos[c] + 1])))
+                sub = _set_slice(sub, sl, a._data[bi])
+        u, s, vh = _robust_svd(sub, full_matrices)
+        k = u.shape[1]
+        # inner charge from the first row sector
+        q_row = a.legs[0].charges[rows[0]] * a.legs[0].qconj
         q_c = chinfo.make_valid((q_row - qL) * inner_qconj)
+        inner_idx = len(inner_charges)
         inner_charges.append(q_c)
-        inner_sizes.append(k if not full_matrices else k)
-    if not rows:
-        raise ValueError("svd of array with no blocks")
-    # build inner leg (order = block order)
+        inner_sizes.append(k)
+        blocks_s.append(s)
+        for kr, r in enumerate(rows):
+            blocks_u.append((r, inner_idx,
+                             u[int(row_off[kr]):int(row_off[kr + 1]), :]))
+        for kc, c in enumerate(cols):
+            blocks_vh.append((inner_idx, c,
+                              vh[:, int(col_off[kc]):int(col_off[kc + 1])]))
     slices = np.concatenate([[0], np.cumsum(inner_sizes)])
-    leg_R = LegCharge(chinfo, slices, np.array(inner_charges, QTYPE).reshape(len(inner_charges), chinfo.qnumber),
+    leg_R = LegCharge(chinfo, slices,
+                      np.array(inner_charges, QTYPE).reshape(len(inner_charges),
+                                                             chinfo.qnumber),
                       inner_qconj)   # inner leg on VH (leg 0 of VH)
     leg_L = leg_R.conj()             # inner leg on U (leg 1 of U)
-    S = jnp.concatenate([s for s in blocks_s]) if blocks_s else jnp.zeros(0)
+    S = _xp(*blocks_s).concatenate(blocks_s) if blocks_s else np.zeros(0)
     if not compute_uv:
         return S
     U = Array([a.legs[0], leg_L], a.dtype, qL, [a._labels[0], lab_L])
     VH = Array([leg_R, a.legs[1]], a.dtype, qR, [lab_R, a._labels[1]])
-    u_rows = [(int(r[0]), i) for i, r in enumerate(rows)]
-    vh_rows = [(i, int(r[1])) for i, r in enumerate(rows)]
-    U._set_blocks(np.array(u_rows, QTYPE), [b.astype(a.dtype) for b in blocks_u])
-    VH._set_blocks(np.array(vh_rows, QTYPE), [b.astype(a.dtype) for b in blocks_vh])
+    U._set_blocks(np.array([(r, i) for r, i, _ in blocks_u], QTYPE).reshape(
+        len(blocks_u), 2), [b.astype(a.dtype) for _, _, b in blocks_u])
+    VH._set_blocks(np.array([(i, c) for i, c, _ in blocks_vh], QTYPE).reshape(
+        len(blocks_vh), 2), [b.astype(a.dtype) for _, _, b in blocks_vh])
     return U, S, VH
 
 
+def _matrix_block_components(a):
+    """Connected components of stored blocks of a 2-leg Array.
+
+    Returns a list of ``(rows, cols, block_indices)`` with rows/cols sorted.
+    For sorted/bunched legs every component is a single block; duplicate-charge
+    sectors (unbunched legs) make larger components that must be decomposed jointly.
+    """
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+
+    for row in a._qdata:
+        r = ('r', int(row[0]))
+        c = ('c', int(row[1]))
+        parent.setdefault(r, r)
+        parent.setdefault(c, c)
+        union(r, c)
+    comps = {}
+    for bi, row in enumerate(a._qdata):
+        root = find(('r', int(row[0])))
+        comps.setdefault(root, [set(), set(), []])
+        comps[root][0].add(int(row[0]))
+        comps[root][1].add(int(row[1]))
+        comps[root][2].append(bi)
+    return [(sorted(rows), sorted(cols), idxs)
+            for rows, cols, idxs in comps.values()]
+
+
 def _robust_svd(block, full_matrices=False):
-    """SVD with NaN fallback (analogue of reference ``svd_robust.py``)."""
-    u, s, vh = jnp.linalg.svd(block, full_matrices=full_matrices)
-    if bool(jnp.any(jnp.isnan(s))):
-        # fall back to eigendecomposition-based SVD via numpy's gesvd
+    """SVD with gesvd fallback on failure (analogue of reference ``svd_robust.py``)."""
+    if _use_jnp(block):
+        u, s, vh = jnp.linalg.svd(block, full_matrices=full_matrices)
+        if bool(jnp.any(jnp.isnan(s))):
+            import scipy.linalg as _sla
+            u2, s2, vh2 = _sla.svd(np.asarray(block), full_matrices=full_matrices,
+                                   lapack_driver='gesvd')
+            return jnp.asarray(u2), jnp.asarray(s2), jnp.asarray(vh2)
+        return u, s, vh
+    try:
+        u, s, vh = np.linalg.svd(block, full_matrices=full_matrices)
+        if np.any(np.isnan(s)):
+            raise np.linalg.LinAlgError("NaN in singular values")
+        return u, s, vh
+    except np.linalg.LinAlgError:
         import scipy.linalg as _sla
-        u2, s2, vh2 = _sla.svd(np.asarray(block), full_matrices=full_matrices,
-                               lapack_driver='gesvd')
-        return jnp.asarray(u2), jnp.asarray(s2), jnp.asarray(vh2)
-    return u, s, vh
+        return _sla.svd(block, full_matrices=full_matrices, lapack_driver='gesvd')
 
 
 def pinv(a, cutoff=1e-15):
@@ -1631,18 +1768,19 @@ def qr(a, mode='reduced', inner_labels=[None, None], cutoff=None, pos_diag_R=Fal
     lab_Q, lab_R = inner_labels
     rows, q_blocks, r_blocks, charges, sizes = [], [], [], [], []
     for row, block in zip(a._qdata, a._data):
-        q, r = jnp.linalg.qr(block, mode='reduced' if mode != 'complete' else 'complete')
+        xp = _xp(block)
+        q, r = xp.linalg.qr(block, mode='reduced' if mode != 'complete' else 'complete')
         if pos_diag_R:
-            d = jnp.diagonal(r)
-            phase = jnp.where(jnp.abs(d) > 1e-300, d / jnp.abs(d), 1.0)
+            d = xp.diagonal(r)
+            phase = xp.where(abs(d) > 1e-300, d / abs(d), 1.0)
             q = q * phase[None, :]
-            r = r * jnp.conj(phase)[:, None]
+            r = r * phase.conj()[:, None]
         if cutoff is not None:
-            keep = np.asarray(jnp.abs(jnp.diagonal(r)) > cutoff)
+            keep = np.asarray(abs(xp.diagonal(r)) > cutoff)
             if not keep.all():
-                idx = jnp.asarray(np.nonzero(keep)[0])
-                q = jnp.take(q, idx, axis=1)
-                r = jnp.take(r, idx, axis=0)
+                idx = np.nonzero(keep)[0]
+                q = q.take(idx, axis=1)
+                r = r.take(idx, axis=0)
             if q.shape[1] == 0:
                 continue
         rows.append(row)
@@ -1725,25 +1863,24 @@ def _check_square(a):
 def _eig_worker(hermitian, a, sort, UPLO='L'):
     _check_square(a)
     leg = a.legs[0]
-    W = jnp.zeros(leg.ind_len, a.dtype if not hermitian else
-                  jnp.zeros((), a.dtype).real.dtype)
-    vdtype = a.dtype if hermitian else jnp.result_type(a.dtype, jnp.complex64)
+    xp = _xp(*a._data)
+    W = xp.zeros(leg.ind_len, a.dtype if not hermitian else
+                 np.zeros((), a.dtype).real.dtype)
+    vdtype = a.dtype if hermitian else np.result_type(a.dtype, np.complex64)
     V = diag(1., leg, dtype=vdtype)
     v_rows = {tuple(r): i for i, r in enumerate(V._qdata)}
     for row, block in zip(a._qdata, a._data):
         if row[0] != row[1]:
             raise ValueError("off-diagonal block in eigh?")
         if hermitian:
-            w, v = jnp.linalg.eigh(block)
+            w, v = xp.linalg.eigh(block)
         else:
-            import scipy.linalg as _sla
-            w_np, v_np = np.linalg.eig(np.asarray(block))
-            w, v = jnp.asarray(w_np), jnp.asarray(v_np)
+            w, v = np.linalg.eig(np.asarray(block))
         if sort is not None:
             perm = _eig_sort_perm(w, sort)
             w = w[perm]
             v = v[:, perm]
-        W = W.at[leg.get_slice(int(row[0]))].set(w.astype(W.dtype))
+        W = _set_slice(W, leg.get_slice(int(row[0])), w.astype(W.dtype))
         V._data[v_rows[(int(row[0]), int(row[0]))]] = v.astype(vdtype)
     V.dtype = jnp.dtype(vdtype)
     return W, V
@@ -1752,29 +1889,31 @@ def _eig_worker(hermitian, a, sort, UPLO='L'):
 def _eigvals_worker(hermitian, a, sort, UPLO='L'):
     _check_square(a)
     leg = a.legs[0]
-    wdtype = jnp.zeros((), a.dtype).real.dtype if hermitian else \
-        jnp.result_type(a.dtype, jnp.complex64)
-    W = jnp.zeros(leg.ind_len, wdtype)
+    xp = _xp(*a._data)
+    wdtype = np.zeros((), a.dtype).real.dtype if hermitian else \
+        np.result_type(a.dtype, np.complex64)
+    W = xp.zeros(leg.ind_len, wdtype)
     for row, block in zip(a._qdata, a._data):
         if hermitian:
-            w = jnp.linalg.eigvalsh(block)
+            w = xp.linalg.eigvalsh(block)
         else:
-            w = jnp.asarray(np.linalg.eigvals(np.asarray(block)))
+            w = np.linalg.eigvals(np.asarray(block))
         if sort is not None:
             w = w[_eig_sort_perm(w, sort)]
-        W = W.at[leg.get_slice(int(row[0]))].set(w.astype(wdtype))
+        W = _set_slice(W, leg.get_slice(int(row[0])), w.astype(wdtype))
     return W
 
 
 def _eig_sort_perm(w, sort):
+    xp = _xp(w)
     if sort == 'm>':
-        return jnp.argsort(-jnp.abs(w))
+        return xp.argsort(-abs(w))
     elif sort == 'm<':
-        return jnp.argsort(jnp.abs(w))
+        return xp.argsort(abs(w))
     elif sort == '>':
-        return jnp.argsort(-jnp.real(w))
+        return xp.argsort(-w.real)
     elif sort == '<':
-        return jnp.argsort(jnp.real(w))
+        return xp.argsort(w.real)
     raise ValueError(f"unknown sort {sort!r}")
 
 
@@ -1784,7 +1923,11 @@ def expm(a):
     res = diag(1., a.legs[0], dtype=a.dtype)
     rows = {tuple(r): i for i, r in enumerate(res._qdata)}
     for row, block in zip(a._qdata, a._data):
-        e = jax.scipy.linalg.expm(block)
+        if _use_jnp(block):
+            e = jax.scipy.linalg.expm(block)
+        else:
+            import scipy.linalg as _sla
+            e = _sla.expm(np.asarray(block))
         res._data[rows[(int(row[0]), int(row[1]))]] = e.astype(a.dtype)
     return res
 
@@ -1807,10 +1950,10 @@ def orthogonal_columns(a, new_label=None):
             if n >= m:
                 continue
             # complete the basis via QR of a full-rank extension
-            q_full, _ = jnp.linalg.qr(blk, mode='complete')
+            q_full, _ = _xp(blk).linalg.qr(blk, mode='complete')
             comp = q_full[:, n:]
         else:
-            comp = jnp.eye(m, dtype=a.dtype)
+            comp = np.eye(m, dtype=a.dtype)
         rows.append(qi)
         blocks.append(comp)
         q_row = leg0.charges[qi] * leg0.qconj

@@ -145,10 +145,10 @@ class OrthogonalNpcLinearOperator(BoostNpcLinearOperator):
 
     def to_matrix(self):
         mat = self.orig_operator.to_matrix()
-        leg = mat.legs[0]
         P = npc.eye_like(mat)
         for o in self.ortho_vecs:
-            P = P - npc.outer(o, o.conj())
+            oc = o if o.rank == 1 else o.combine_legs([list(range(o.rank))])
+            P = P - npc.outer(oc, oc.conj())
         return npc.tensordot(P, npc.tensordot(mat, P, axes=[[1], [0]]), axes=[[1], [0]])
 
     def adjoint(self):
@@ -233,7 +233,7 @@ class FlatLinearOperator(scipy.sparse.linalg.LinearOperator):
         else:
             full = vec
             qtotal = None
-        arr = npc.Array.from_ndarray(jnp.asarray(full), [self.leg], qtotal=qtotal,
+        arr = npc.Array.from_ndarray(full, [self.leg], qtotal=qtotal,
                                      warn_wrong_sector=False)
         if self.vec_label is not None:
             arr.iset_leg_labels([self.vec_label])

@@ -152,7 +152,7 @@ def svd_theta(theta, trunc_par, qtotal_LR=(None, None), inner_labels=('vR', 'vL'
     renormalization *= new_norm
     U = U.copy(deep=False).iproject(piv, 1)
     VH = VH.copy(deep=False).iproject(piv, 0)
-    return U, jnp.asarray(S), VH, err, renormalization
+    return U, np.asarray(S), VH, err, renormalization
 
 
 def eigh_rho(rho, trunc_par, UPLO='L', sort='m>'):

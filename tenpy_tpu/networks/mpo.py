@@ -351,7 +351,7 @@ class MPO:
             legR = legs[i + 1] if i + 1 < L else legs[L] if self.bc != 'infinite' \
                 else legs[0]
             W = npc.Array.from_ndarray(
-                jnp.asarray(U), [legL, legR.conj(), self.get_W(i).get_leg('p'),
+                np.asarray(U), [legL, legR.conj(), self.get_W(i).get_leg('p'),
                                  self.get_W(i).get_leg('p*')],
                 labels=['wL', 'wR', 'p', 'p*'], warn_wrong_sector=False)
             Ws.append(W)
@@ -443,7 +443,7 @@ class MPO:
         for b in range(psi.L + 1):
             n = psi.get_B(min(b, psi.L - 1), None).get_leg(
                 'vL' if b < psi.L else 'vR').ind_len
-            psi._S[b] = jnp.ones(n) / np.sqrt(n)
+            psi._S[b] = np.ones(n) / np.sqrt(n)
         if bc == 'finite':
             psi.canonical_form_finite(renormalize=False)
         else:
@@ -488,7 +488,7 @@ class MPO:
             A = U.split_legs([0])
             psi.set_B(i, A, 'A')
             psi.set_SR(i, S)
-            carry = VH.iscale_axis(jnp.asarray(np.asarray(S)) * renorm, 0).split_legs([1])
+            carry = VH.iscale_axis(np.asarray((S)) * renorm, 0).split_legs([1])
         psi.canonical_form_finite(renormalize=False)
         return trunc_err
 
@@ -567,7 +567,7 @@ class MPO:
                 legR_src = new_legs[i + 1] if i + 1 < self.L else None
             legR = legR_src.conj() if legR_src is not None else W.get_leg('wR')
             self._W[i] = npc.Array.from_ndarray(
-                jnp.asarray(dense), [legL, legR, W.get_leg('p'), W.get_leg('p*')],
+                np.asarray(dense), [legL, legR, W.get_leg('p'), W.get_leg('p*')],
                 labels=['wL', 'wR', 'p', 'p*'], warn_wrong_sector=False)
         # update IdL/IdR
         from ..tools.misc import inverse_permutation
@@ -690,7 +690,7 @@ def _make_WI_tensor(W, IdL, IdR, dt):
         for b in range(nR):
             U[1 + a, 1 + b] = A[a, b]
     legs = _wII_legs(W, IdL, IdR, keepL, keepR)
-    return npc.Array.from_ndarray(jnp.asarray(U), legs,
+    return npc.Array.from_ndarray(np.asarray(U), legs,
                                   labels=['wL', 'wR', 'p', 'p*'],
                                   warn_wrong_sector=False)
 
@@ -744,7 +744,7 @@ def _make_WII_tensor(W, IdL, IdR, dt):
             vec_in = np.kron(np.kron(proj0, proj0), np.eye(d))
             U[a, b] = vec_out @ expG @ vec_in.T
     legs = _wII_legs(W, IdL, IdR, keepL, keepR)
-    return npc.Array.from_ndarray(jnp.asarray(U), legs,
+    return npc.Array.from_ndarray(np.asarray(U), legs,
                                   labels=['wL', 'wR', 'p', 'p*'],
                                   warn_wrong_sector=False)
 
@@ -986,17 +986,17 @@ class MPOEnvironment(BaseEnvironment):
             LP0 = self.init_LP(0)
             LP = self._contract_LP(0, LP0)
             RP = self.get_RP(0)
-            S_bra = jnp.conj(jnp.asarray(self.bra.get_SR(0)))
+            S_bra = np.conj(np.asarray(self.bra.get_SR(0)))
             LP = LP.copy(deep=False).iscale_axis(S_bra, 'vR*').iscale_axis(
-                jnp.asarray(self.ket.get_SR(0)), 'vR')
+                np.asarray(self.ket.get_SR(0)), 'vR')
             contr = npc.tensordot(LP, RP, axes=[['vR*', 'wR', 'vR'],
                                                 ['vL*', 'wL', 'vL']])
         else:
             LP = self.get_LP(i0)
             RP = self.get_RP(i0 - 1)
-            S_bra = jnp.conj(jnp.asarray(self.bra.get_SL(i0)))
+            S_bra = np.conj(np.asarray(self.bra.get_SL(i0)))
             LP = LP.copy(deep=False).iscale_axis(S_bra, 'vR*').iscale_axis(
-                jnp.asarray(self.ket.get_SL(i0)), 'vR')
+                np.asarray(self.ket.get_SL(i0)), 'vR')
             contr = npc.tensordot(LP, RP, axes=[['vR*', 'wR', 'vR'],
                                                 ['vL*', 'wL', 'vL']])
         return complex(contr) * self.bra.norm * self.ket.norm
@@ -1026,7 +1026,7 @@ def _env_init(leg_v, leg_w, w_idx, dtype, left=True):
     n_w = w_leg.ind_len
     vec = np.zeros(n_w)
     vec[w_idx] = 1.
-    w_arr = npc.Array.from_ndarray(jnp.asarray(vec), [w_leg],
+    w_arr = npc.Array.from_ndarray(np.asarray(vec), [w_leg],
                                    qtotal=w_charge * w_leg.qconj,
                                    warn_wrong_sector=False)
     res = npc.outer(diag, w_arr)
@@ -1147,11 +1147,11 @@ class MPOTransferMatrix:
         psi = self.psi
         if left:
             # contract with rho_R = diag(S_0^2) on bond 0
-            S2 = jnp.asarray(psi.get_SL(0)) ** 2
+            S2 = np.asarray(psi.get_SL(0)) ** 2
             sub = _take_w_index(env, 'wR', Id_end)
             val = npc.trace(sub.copy(deep=False).iscale_axis(S2, 'vR'), 'vR*', 'vR')
         else:
-            S2 = jnp.asarray(psi.get_SL(0)) ** 2
+            S2 = np.asarray(psi.get_SL(0)) ** 2
             sub = _take_w_index(env, 'wL', Id_end)
             val = npc.trace(sub.copy(deep=False).iscale_axis(S2, 'vL'), 'vL*', 'vL')
         return float(np.real(complex(val)))
@@ -1166,7 +1166,7 @@ class MPOTransferMatrix:
             vec = np.zeros(n_w)
             vec[Id_end] = e
             w_arr = npc.Array.from_ndarray(
-                jnp.asarray(vec), [w_leg],
+                np.asarray(vec), [w_leg],
                 qtotal=w_leg.to_qflat()[Id_end] * w_leg.qconj,
                 warn_wrong_sector=False)
             corr = npc.outer(corr, w_arr)
@@ -1179,7 +1179,7 @@ class MPOTransferMatrix:
             vec = np.zeros(w_leg.ind_len)
             vec[Id_end] = e
             w_arr = npc.Array.from_ndarray(
-                jnp.asarray(vec), [w_leg],
+                np.asarray(vec), [w_leg],
                 qtotal=w_leg.to_qflat()[Id_end] * w_leg.qconj,
                 warn_wrong_sector=False)
             corr = npc.outer(corr, w_arr)

@@ -76,7 +76,7 @@ class MPS:
         self.grouped = 1
         self.segment_boundaries = (None, None)
         self._B = [B.astype(self.dtype).copy(deep=False) for B in Bs]
-        self._S = [jnp.asarray(np.asarray(S)) for S in SVs]
+        self._S = [np.asarray((S)) for S in SVs]
         self._valid_bc_check()
         self._transfermatrix_keep = 1
         self.test_sanity()
@@ -185,7 +185,7 @@ class MPS:
         L = len(sites)
         chinfo = sites[0].leg.chinfo
         Bs = []
-        SVs = [jnp.ones(1)] * (L + 1)
+        SVs = [np.ones(1)] * (L + 1)
         chargeL = chinfo.make_valid(chargeL)
         qL = np.array(chargeL, np.int64)
         legL = LegCharge.from_qflat(chinfo, [qL], qconj=+1)
@@ -208,7 +208,7 @@ class MPS:
             q_p = site.leg.charges[qi] * site.leg.qconj
             qR = chinfo.make_valid(qL + q_p)
             legR = LegCharge.from_qflat(chinfo, [qR], qconj=-1)
-            B = npc.Array.from_ndarray(jnp.asarray(vec).reshape(1, site.dim, 1),
+            B = npc.Array.from_ndarray(np.asarray(vec).reshape(1, site.dim, 1),
                                        [legL, site.leg, legR.conj().conj()],
                                        labels=['vL', 'p', 'vR'],
                                        dtype=dtype, warn_wrong_sector=True)
@@ -272,7 +272,7 @@ class MPS:
             # calculate the LegCharge of the right leg from charge conservation
             legs = [site.leg, legL, None]
             legs[2] = npc.detect_legcharge(B, chinfo, legs, None, qconj=-1)
-            B_npc = npc.Array.from_ndarray(jnp.asarray(B), legs, dtype=dtype,
+            B_npc = npc.Array.from_ndarray(np.asarray(B), legs, dtype=dtype,
                                            labels=['p', 'vL', 'vR'],
                                            warn_wrong_sector=True)
             B_npc.itranspose(['vL', 'p', 'vR'])
@@ -280,7 +280,7 @@ class MPS:
             legL = legs[2].conj()
         if bc == 'infinite':
             Bs[-1] = _gauge_compatible_vL_vR(Bs[0], Bs[-1])
-        return cls(sites, Bs, [jnp.asarray(np.asarray(S)) for S in SVs], bc=bc,
+        return cls(sites, Bs, [np.asarray((S)) for S in SVs], bc=bc,
                    form=form)
 
     @classmethod
@@ -313,7 +313,7 @@ class MPS:
             B.ireplace_label('vL' if 'vL' in B.get_leg_labels() else 0, 'vL')
             Bs.append(B)
             SVs.append(np.asarray(S))
-            rest = U.split_legs([0]).iscale_axis(jnp.asarray(S), -1)
+            rest = U.split_legs([0]).iscale_axis(np.asarray(S), -1)
             rest.ireplace_label(rest.get_leg_labels()[-1], 'vR')
         # the remaining tensor is the first site in 'Th' form ~ A S
         rest.ireplace_labels(['p0'], ['p'])
@@ -328,7 +328,7 @@ class MPS:
         Bs = Bs[::-1]
         SVs = SVs[::-1]
         forms = ['Th'] + ['B'] * (L - 1)
-        res = cls(sites, Bs, [jnp.asarray(S) for S in SVs], bc=bc, form=forms,
+        res = cls(sites, Bs, [np.asarray(S) for S in SVs], bc=bc, form=forms,
                   norm=norm_)
         res.canonical_form_finite()
         return res
@@ -372,7 +372,7 @@ class MPS:
             idx = [c.get(i, ilonely) for i in range(L)]
             psi_full[tuple(idx)] += amp
         legs = [site.leg] * L
-        psi_npc = npc.Array.from_ndarray(jnp.asarray(psi_full), legs,
+        psi_npc = npc.Array.from_ndarray(np.asarray(psi_full), legs,
                                          warn_wrong_sector=False)
         return cls.from_full([site] * L, psi_npc, bc=bc)
 
@@ -464,12 +464,15 @@ class MPS:
 
     @staticmethod
     def _scale_S(S, exp, cutoff=1e-16):
-        S = jnp.asarray(S)
+        from ..linalg.np_conserved import _use_jnp
+        xp = jnp if _use_jnp(S) else np
+        if xp is np:
+            S = np.asarray(S)
         if exp == 1.:
             return S
         if exp == -1.:
-            return 1. / jnp.where(S > cutoff, S, 1.)
-        return jnp.where(S > cutoff, S, 1.) ** exp
+            return 1. / xp.where(S > cutoff, S, 1.)
+        return xp.where(S > cutoff, S, 1.) ** exp
 
     def set_B(self, i, B, form='B'):
         i = self._to_valid_index(i)
@@ -488,13 +491,13 @@ class MPS:
 
     def set_SL(self, i, S):
         i = self._to_valid_index(i)
-        self._S[i] = jnp.asarray(np.asarray(S))
+        self._S[i] = np.asarray((S))
         if not self.finite and i == 0:
             self._S[self.L] = self._S[0]
 
     def set_SR(self, i, S):
         i = self._to_valid_index(i)
-        S = jnp.asarray(np.asarray(S))
+        S = np.asarray((S))
         if i + 1 <= self.L:
             self._S[i + 1] = S
         if not self.finite and i + 1 == self.L:
@@ -515,12 +518,12 @@ class MPS:
         """
         i = self._to_valid_index(i)
         if n == 1:
-            return self.get_B(i, (formL, formR), label_p=0)
-        theta = self.get_B(i, (formL, 1.), label_p=0)
+            return self.get_B(i, (formL, formR), cutoff=cutoff, label_p=0)
+        theta = self.get_B(i, (formL, 1.), cutoff=cutoff, label_p=0)
         for k in range(1, n):
             j = i + k
             form = (0., 1.) if k < n - 1 else (0., formR)
-            B = self.get_B(j, form, label_p=k)
+            B = self.get_B(j, form, cutoff=cutoff, label_p=k)
             theta = npc.tensordot(theta, B, axes=[['vR'], ['vL']])
         return theta
 
@@ -808,7 +811,7 @@ class MPS:
         # right -> left with SVD: build Schmidt values, convert to 'B'
         M = npc.tensordot(Ms[L - 1], R, axes=[['vR'], ['vL']])
         nR = M.get_leg('vR').ind_len
-        self.set_SR(L - 1, jnp.ones(nR) / (np.sqrt(nR) if self.bc == 'segment' else 1.))
+        self.set_SR(L - 1, np.ones(nR) / (np.sqrt(nR) if self.bc == 'segment' else 1.))
         for i in range(L - 1, 0, -1):
             M_c = M.combine_legs([['p', 'vR']], qconj=[-1])
             U, S, VH = npc.svd(M_c, cutoff=cutoff if cutoff else None,
@@ -818,7 +821,7 @@ class MPS:
             self._B[i] = VH.split_legs([1])
             self.form[i] = self._valid_forms['B']
             self.set_SL(i, S)
-            M = npc.tensordot(Ms[i - 1], U.iscale_axis(jnp.asarray(S), 'vR'),
+            M = npc.tensordot(Ms[i - 1], U.iscale_axis(np.asarray(S), 'vR'),
                               axes=[['vR'], ['vL']])
         # M is site 0 in 'Th'-like form (S_0 = 1 for finite bc)
         SL0 = self.get_SL(0)
@@ -861,7 +864,7 @@ class MPS:
         Ms[L - 1] = Ms[L - 1] / np.sqrt(eta)
         self.set_SL(0, S_new)
         # left QR sweep through the unit cell starting from theta_0 = S_0 M_0
-        R = npc.diag(jnp.asarray(S_new), Ms[0].get_leg('vL'), labels=['vL', 'vR'])
+        R = npc.diag(np.asarray(S_new), Ms[0].get_leg('vL'), labels=['vL', 'vR'])
         As = []
         for i in range(L):
             M = npc.tensordot(R, Ms[i], axes=[['vR'], ['vL']])
@@ -878,7 +881,7 @@ class MPS:
             self._B[i] = VH.split_legs([1])
             self.form[i] = self._valid_forms['B']
             self.set_SL(i, S)
-            Vt = U.iscale_axis(jnp.asarray(S), 'vR')
+            Vt = U.iscale_axis(np.asarray(S), 'vR')
         # leftover gauge U_0 diag(S_0) on bond 0: absorb the unitary into B_{L-1}
         # so the bond-L basis matches the new bond-0 basis.
         U0 = Vt.copy(deep=False).iscale_axis(self._scale_S(self.get_SL(0), -1.), 'vR')
@@ -948,7 +951,7 @@ class MPS:
             B.ireplace_label(f'p{k}', 'p')
             self.set_B(i + k, B, 'B')
             self.set_SL(i + k, S)
-            rest = U.split_legs([0]).iscale_axis(jnp.asarray(S), 'vR')
+            rest = U.split_legs([0]).iscale_axis(np.asarray(S), 'vR')
         rest = rest.copy(deep=False).iscale_axis(self._scale_S(self.get_SL(i), -1.),
                                                  'vL')
         rest.ireplace_label('p0', 'p')
@@ -1107,7 +1110,7 @@ class MPS:
                 self.set_B(i + 1, B_R, 'B')
                 A_L = U.split_legs([0]).ireplace_label('p0', 'p')
                 B_L = A_L.iscale_axis(self._scale_S(self.get_SL(i), -1.), 'vL')
-                B_L = B_L.iscale_axis(jnp.asarray(np.asarray(S)), 'vR')
+                B_L = B_L.iscale_axis(np.asarray((S)), 'vR')
                 self.set_B(i, B_L, 'B')
         return err
 
@@ -1161,7 +1164,7 @@ class MPS:
             proj = np.zeros(theta_b.get_leg('p').ind_len)
             proj[k] = 1.
             theta_proj = npc.tensordot(
-                theta_b, npc.Array.from_ndarray(jnp.asarray(proj),
+                theta_b, npc.Array.from_ndarray(np.asarray(proj),
                                                 [theta_b.get_leg('p').conj()],
                                                 warn_wrong_sector=False),
                 axes=[['p'], [0]])
@@ -1270,8 +1273,8 @@ def _gauge_fixed_point_bond(rho_L, rho_R, leg, cutoff=1e-14):
     G = npc.zeros([leg, leg.conj()], dtype=dtype)
     Ginv = npc.zeros([leg, leg.conj()], dtype=dtype)
     for qi in range(n_sec):
-        G.set_block((qi, qi), jnp.asarray(G_blocks[qi]))
-        Ginv.set_block((qi, qi), jnp.asarray(Ginv_blocks[qi]))
+        G.set_block((qi, qi), np.asarray(G_blocks[qi]))
+        Ginv.set_block((qi, qi), np.asarray(Ginv_blocks[qi]))
     return S_full, G, Ginv
 
 
@@ -1437,9 +1440,9 @@ class BaseEnvironment:
         else:
             LP = self.get_LP(i0)
             RP = self.get_RP(i0 - 1)
-            S_bra = jnp.conj(jnp.asarray(self.bra.get_SL(i0)))
+            S_bra = np.conj(np.asarray(self.bra.get_SL(i0)))
             LP = LP.copy(deep=False).iscale_axis(S_bra, 'vR*').iscale_axis(
-                jnp.asarray(self.ket.get_SL(i0)), 'vR')
+                np.asarray(self.ket.get_SL(i0)), 'vR')
             contr = npc.tensordot(LP, RP, axes=[['vR*', 'vR'], ['vL*', 'vL']])
         return complex(contr) * self.bra.norm * self.ket.norm
 

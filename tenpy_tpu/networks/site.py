@@ -122,7 +122,7 @@ class Site:
                 permute_dense = self.used_sort_charge
             if permute_dense:
                 op = op[np.ix_(self.perm, self.perm)]
-            op = npc.Array.from_ndarray(jnp.asarray(op), [self.leg, self.leg.conj()],
+            op = npc.Array.from_ndarray(np.asarray(op), [self.leg, self.leg.conj()],
                                         labels=['p', 'p*'], warn_wrong_sector=True)
         setattr(self, name, op)
         self.opnames.add(name)

@@ -214,12 +214,9 @@ class DictCache:
         return val
 
     def __setitem__(self, key, value):
-        if key in self.short_term_keys or self.storage.trivial:
+        if key in self.short_term_keys:
             self.short_term_cache[key] = value
-        if not self.storage.trivial:
-            self.storage.save(key, value)
-        elif key not in self.short_term_keys:
-            self.short_term_cache[key] = value
+        self.storage.save(key, value)
 
     def __delitem__(self, key):
         self.short_term_cache.pop(key, None)

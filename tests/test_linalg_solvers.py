@@ -148,16 +148,18 @@ def test_flat_linear_operator():
 
 def test_orthogonal_operator():
     H, Hd, leg = _random_hermitian_op(16)
+    # use the largest charge sector (need at least 2 states for an excited level)
+    qi = int(np.argmax(leg.sector_sizes()))
     v0 = npc.Array.from_func(lambda s: rng.normal(size=s), [leg],
-                             qtotal=leg.get_charge(0))
+                             qtotal=leg.get_charge(qi))
     op = _MatOp(H)
     E0, psi0, _ = LanczosGroundState(op, v0, {'N_max': 40, 'reortho': True}).run()
     op2 = OrthogonalNpcLinearOperator(op, [psi0])
     v1 = npc.Array.from_func(lambda s: rng.normal(size=s), [leg],
-                             qtotal=leg.get_charge(0))
+                             qtotal=leg.get_charge(qi))
     E1, psi1, _ = LanczosGroundState(op2, v1, {'N_max': 40, 'reortho': True}).run()
-    sl = leg.get_slice(0)
-    w = np.linalg.eigvalsh(Hd[sl, sl])
+    sl = leg.get_slice(qi)
+    w = np.linalg.eigvalsh(Hd[sl.start:sl.stop, sl.start:sl.stop])
     assert abs(E1 - w[1]) < 1e-8
     assert abs(complex(npc.inner(psi0.conj(), psi1, axes='range'))) < 1e-6
 
