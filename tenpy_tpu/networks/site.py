@@ -848,6 +848,10 @@ class ClockSite(Site):
         self.conserve = conserve
         states = [str(k) for k in range(q)]
         Site.__init__(self, leg, states, sort_charge=sort_charge, **ops)
+        if conserve != 'Z':
+            # charge-inhomogeneous combinations (only without Z conservation)
+            self.add_op('Xphc', X + Xhc, hc='Xphc', permute_dense=True)
+            self.add_op('Zphc', (Z + Zhc).real, hc='Zphc', permute_dense=True)
         if q == 2:
             self.state_labels['up'] = self.state_labels['0']
             self.state_labels['down'] = self.state_labels['1']
