@@ -509,6 +509,7 @@ class MPO:
     def make_U_I(self, dt):
         """W_I approximation: U_ij = 1_ij + dt sum_ab A_a ... (first order in the MPO
         decomposition H = sum 1 x ... x A x ... ).  Reference: ``mpo.py:959-1110``."""
+        keeps, bond_legs = _wII_bond_data(self)
         U = []
         for i in range(self.L):
             W = self.get_W(i)
@@ -516,13 +517,16 @@ class MPO:
             IdR = self.get_IdR(i)
             if IdL is None or IdR is None:
                 raise ValueError("W_I needs IdL/IdR")
-            U.append(_make_WI_tensor(W, IdL, IdR, dt))
+            bR = (i + 1) % self.L if self.bc == 'infinite' else i + 1
+            U.append(_make_WI_tensor(W, IdL, IdR, dt, keeps[i], keeps[bR],
+                                     bond_legs[i], bond_legs[bR].conj()))
         return MPO(self.sites, U, self.bc,
                    IdL=[0] * (self.L + 1), IdR=[0] * (self.L + 1),
                    max_range=self.max_range)
 
     def make_U_II(self, dt):
         """W_II approximation (arXiv:1407.1832). Reference: ``mpo.py:2149`` make_W_II."""
+        keeps, bond_legs = _wII_bond_data(self)
         U = []
         for i in range(self.L):
             W = self.get_W(i)
@@ -530,7 +534,9 @@ class MPO:
             IdR = self.get_IdR(i)
             if IdL is None or IdR is None:
                 raise ValueError("W_II needs IdL/IdR")
-            U.append(_make_WII_tensor(W, IdL, IdR, dt))
+            bR = (i + 1) % self.L if self.bc == 'infinite' else i + 1
+            U.append(_make_WII_tensor(W, IdL, IdR, dt, keeps[i], keeps[bR],
+                                      bond_legs[i], bond_legs[bR].conj()))
         return MPO(self.sites, U, self.bc,
                    IdL=[0] * (self.L + 1), IdR=[0] * (self.L + 1),
                    max_range=self.max_range)
@@ -658,24 +664,47 @@ def _project_onto_w_index(a, label, idx):
     return res.squeeze([res.get_leg_index(label)])
 
 
-def _make_WI_tensor(W, IdL, IdR, dt):
-    """U^I tensor: rows/cols [IdL-replaced] with 1 + dt*W structure.
+def _wII_bond_data(H):
+    """Per-bond kept-index lists and new bond legs for U^I/U^II.
 
-    Keeps all states except IdR on the left / IdL on the right is merged:
-    U = [[1 + dt*W_DD?, ...]] -- implemented densely per the standard W_I recipe:
-    U_{ab} = delta_{ab,IdL IdL} + ... For practical purposes: drop row IdR & column
-    IdL... (standard: U^I has the block structure [[1 + dt D, sqrt(dt) C],
-    [sqrt(dt) B, A]] when W = [[1, C, D], [0, A, B], [0, 0, 1]]).
+    On each bond the original IdL *and* IdR channels are merged into the single
+    new Id channel (index 0); all other states are kept.  Building ONE leg per
+    bond (and conjugating it for the wR side of the left site) guarantees that
+    adjacent U tensors share contractible virtual legs, even when IdL != IdR.
+    """
+    L = H.L
+    n_bonds = L if H.bc == 'infinite' else L + 1
+    keeps, legs = [], []
+    for b in range(n_bonds):
+        if b < L:
+            leg = H.get_W(b).get_leg('wL')
+        else:
+            leg = H.get_W(L - 1).get_leg('wR').conj()
+        drop = {x for x in (H.IdL[b], H.IdR[b]) if x is not None}
+        keep = [x for x in range(leg.ind_len) if x not in drop]
+        chinfo = leg.chinfo
+        qflat = leg.to_qflat()
+        rows = [chinfo.make_valid()] + [qflat[x] * leg.qconj for x in keep]
+        new_leg = LegCharge.from_qflat(chinfo, chinfo.make_valid(np.array(rows)), +1)
+        keeps.append(keep)
+        legs.append(new_leg)
+    return keeps, legs
+
+
+def _make_WI_tensor(W, IdL, IdR, dt, keepL, keepR, legL, legR):
+    """U^I tensor with the block structure [[1 + dt D, sqrt(dt) C],
+    [sqrt(dt) B, A]] when W = [[1, C, D], [0, A, B], [0, 0, 1]]:
+    A = W[keepL, keepR], B = W[keepL, IdR], C = W[IdL, keepR], D = W[IdL, IdR],
+    where keepL/keepR drop both Id channels of the respective bond
+    (see :func:`_wII_bond_data`).
     """
     dense = np.asarray(W.to_ndarray())  # (wL, wR, p, p*)
     DL, DR, d, _ = dense.shape
-    keepL = [x for x in range(DL) if x != IdL]
-    keepR = [x for x in range(DR) if x != IdR]
-    # blocks: A = W[keepL, keepR], B = W[keepL, IdR], C = W[IdL, keepR], D = W[IdL, IdR]
     A = dense[np.ix_(keepL, keepR)]
     B = dense[keepL, IdR]          # (nL, d, d)
     C = dense[IdL, keepR]          # (nR, d, d)
     D = dense[IdL, IdR]            # (d, d)
+    dt = -dt  # convention: make_U(dt) = exp(-dt*H) ~= 1 - dt*H
     sqdt = np.sqrt(complex(dt)) if not np.isrealobj(np.array(dt)) or dt < 0 \
         else np.sqrt(dt)
     nL, nR = len(keepL), len(keepR)
@@ -689,13 +718,13 @@ def _make_WI_tensor(W, IdL, IdR, dt):
         U[1 + a, 0] = sqdt * B[a]
         for b in range(nR):
             U[1 + a, 1 + b] = A[a, b]
-    legs = _wII_legs(W, IdL, IdR, keepL, keepR)
+    legs = [legL, legR, W.get_leg('p'), W.get_leg('p*')]
     return npc.Array.from_ndarray(np.asarray(U), legs,
                                   labels=['wL', 'wR', 'p', 'p*'],
                                   warn_wrong_sector=False)
 
 
-def _make_WII_tensor(W, IdL, IdR, dt):
+def _make_WII_tensor(W, IdL, IdR, dt, keepL, keepR, legL, legR):
     r"""W_II tensor (arXiv:1407.1832 eq. 11-12): matrix elements built from the
     exponential of the local [[D, C], [B, A]] structure via auxiliary bosonic modes.
 
@@ -709,13 +738,11 @@ def _make_WII_tensor(W, IdL, IdR, dt):
     import scipy.linalg
     dense = np.asarray(W.to_ndarray())
     DL, DR, d, _ = dense.shape
-    keepL = [x for x in range(DL) if x != IdL]
-    keepR = [x for x in range(DR) if x != IdR]
     A = dense[np.ix_(keepL, keepR)]
     B = dense[keepL, IdR]
     C = dense[IdL, keepR]
     D = dense[IdL, IdR]
-    t = dt
+    t = -dt  # convention: make_U(dt) = exp(-dt*H)
     sq_t = np.sqrt(complex(t)) if np.iscomplexobj(np.asarray(t)) or \
         (np.isrealobj(np.asarray(t)) and np.real(t) < 0) else np.sqrt(t)
     nL, nR = len(keepL), len(keepR)
@@ -743,24 +770,10 @@ def _make_WII_tensor(W, IdL, IdR, dt):
             vec_out = np.kron(np.kron(va, vb), np.eye(d))
             vec_in = np.kron(np.kron(proj0, proj0), np.eye(d))
             U[a, b] = vec_out @ expG @ vec_in.T
-    legs = _wII_legs(W, IdL, IdR, keepL, keepR)
+    legs = [legL, legR, W.get_leg('p'), W.get_leg('p*')]
     return npc.Array.from_ndarray(np.asarray(U), legs,
                                   labels=['wL', 'wR', 'p', 'p*'],
                                   warn_wrong_sector=False)
-
-
-def _wII_legs(W, IdL, IdR, keepL, keepR):
-    """Leg charges of the U^I/U^II tensors: [Id] + kept W states."""
-    chinfo = W.chinfo
-    legL_old = W.get_leg('wL')
-    legR_old = W.get_leg('wR')
-    qL = np.concatenate([[chinfo.make_valid()],
-                         [legL_old.to_qflat()[x] * legL_old.qconj for x in keepL]])
-    qR = np.concatenate([[chinfo.make_valid()],
-                         [legR_old.to_qflat()[x] * (-legR_old.qconj) for x in keepR]])
-    legL = LegCharge.from_qflat(chinfo, chinfo.make_valid(qL), +1)
-    legR = LegCharge.from_qflat(chinfo, chinfo.make_valid(-qR), -1)
-    return [legL, legR, W.get_leg('p'), W.get_leg('p*')]
 
 
 # ======================================================================== MPOGraph

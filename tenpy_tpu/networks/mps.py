@@ -1413,16 +1413,28 @@ class BaseEnvironment:
         if pre:
             self.cache.preload(*pre)
 
+    @staticmethod
+    def _phys_labels(B):
+        """Physical legs of a chain tensor (everything but vL/vR): ['p'] for MPS,
+        ['p', 'q'] for purification MPS, etc."""
+        return [l for l in B.get_leg_labels() if l not in ('vL', 'vR')]
+
     def _contract_LP(self, i, LP):
-        LP = npc.tensordot(LP, self.ket.get_B(i, 'A'), axes=[['vR'], ['vL']])
+        ket_B = self.ket.get_B(i, 'A')
+        phys = self._phys_labels(ket_B)
+        LP = npc.tensordot(LP, ket_B, axes=[['vR'], ['vL']])
         LP = npc.tensordot(self.bra.get_B(i, 'A').conj(), LP,
-                           axes=[['vL*', 'p*'], ['vR*', 'p']])
+                           axes=[['vL*'] + [p + '*' for p in phys],
+                                 ['vR*'] + phys])
         return LP  # labels vR*, vR
 
     def _contract_RP(self, i, RP):
-        RP = npc.tensordot(self.ket.get_B(i, 'B'), RP, axes=[['vR'], ['vL']])
+        ket_B = self.ket.get_B(i, 'B')
+        phys = self._phys_labels(ket_B)
+        RP = npc.tensordot(ket_B, RP, axes=[['vR'], ['vL']])
         RP = npc.tensordot(RP, self.bra.get_B(i, 'B').conj(),
-                           axes=[['p', 'vL*'], ['p*', 'vR*']])
+                           axes=[phys + ['vL*'],
+                                 [p + '*' for p in phys] + ['vR*']])
         return RP  # labels vL, vL*
 
     def full_contraction(self, i0):

@@ -1,0 +1,147 @@
+r"""Purification MPS for finite-temperature simulations.
+
+Rebuild of ``tenpy/networks/purification_mps.py`` (PurificationMPS :132,
+from_infiniteT :165; the purification scheme is documented in the reference module
+header :1-130): each tensor has legs ``vL, p, q, vR`` where ``q`` is the ancilla
+(auxiliary) leg purifying the density matrix,
+``rho = Tr_q |psi><psi|``.  Physical operators act on ``p`` only.
+
+The infinite-temperature state is the product of maximally entangled p-q pairs;
+imaginary-time evolution ``exp(-beta H / 2)`` on the ``p`` legs produces Gibbs
+states at inverse temperature ``beta``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..linalg import np_conserved as npc
+from ..linalg.charges import LegCharge
+from .mps import MPS
+from ..tools.math import entropy
+
+__all__ = ['PurificationMPS']
+
+
+class PurificationMPS(MPS):
+    """MPS with a physical leg ``p`` and an ancilla leg ``q`` per site."""
+
+    # canonical forms act on both p and q; conventions identical to MPS otherwise
+
+    def test_sanity(self):
+        assert len(self._B) == self.L
+        for B in self._B:
+            assert set(B.get_leg_labels()) == {'vL', 'p', 'q', 'vR'}
+
+    @classmethod
+    def from_infiniteT(cls, sites, bc='finite', form='B', dtype=np.float64):
+        """Infinite-temperature (identity) purification. Reference: ``:165``."""
+        sites = list(sites)
+        L = len(sites)
+        Bs = []
+        SVs = [np.ones(1)] * (L + 1)
+        chinfo = sites[0].leg.chinfo
+        legL = LegCharge.from_trivial(1, chinfo, qconj=+1)
+        for site in sites:
+            d = site.dim
+            B = np.eye(d).reshape(1, d, d, 1) / np.sqrt(d)
+            legs = [legL, site.leg, site.leg.conj(), legL.conj()]
+            B_npc = npc.Array.from_ndarray(B, legs, labels=['vL', 'p', 'q', 'vR'],
+                                           dtype=dtype, warn_wrong_sector=False)
+            Bs.append(B_npc)
+        res = cls.__new__(cls)
+        MPS.__init__(res, sites, Bs, SVs, bc=bc, form=form)
+        return res
+
+    @classmethod
+    def from_density_matrix(cls, rho, sites, bc='finite'):
+        raise NotImplementedError("general rho purification: later round")
+
+    # ---------------------------------------------------------------- overrides
+    def get_theta(self, i, n=2, cutoff=1e-16, formL=1., formR=1.):
+        """Like MPS.get_theta but with additional q legs (labels q0..q{n-1})."""
+        i = self._to_valid_index(i)
+        theta = self.get_B(i, (formL, 1.) if n > 1 else (formL, formR), copy=True)
+        theta.ireplace_labels(['p', 'q'], ['p0', 'q0'])
+        for k in range(1, n):
+            j = i + k
+            form = (0., 1.) if k < n - 1 else (0., formR)
+            B = self.get_B(j, form, copy=True)
+            B.ireplace_labels(['p', 'q'], [f'p{k}', f'q{k}'])
+            theta = npc.tensordot(theta, B, axes=[['vR'], ['vL']])
+        return theta
+
+    def expectation_value(self, ops, sites=None, axes=None):
+        """<psi|op on p|psi> (ancilla traced out automatically)."""
+        if isinstance(ops, str):
+            ops = [ops]
+        if sites is None:
+            sites = range(self.L)
+        res = []
+        for i in sites:
+            op = self.get_op(ops, i)
+            theta = self.get_theta(i, 1)
+            val = npc.tensordot(op, theta, axes=[['p*'], ['p0']])
+            val = npc.tensordot(
+                theta.conj(), val,
+                axes=[['vL*', 'p0*', 'q0*', 'vR*'], ['vL', 'p', 'q0', 'vR']])
+            res.append(complex(val))
+        res = np.array(res)
+        if np.allclose(res.imag, 0., atol=1e-14):
+            res = res.real
+        return res
+
+    def expectation_value_term(self, term, autoJW=True):
+        raise NotImplementedError("term expectation on purification: later round")
+
+    def norm_test(self):
+        res = np.empty((self.L, 2))
+        for i in range(self.L):
+            A = self.get_B(i, 'A')
+            c = npc.tensordot(A.conj(), A,
+                              axes=[['vL*', 'p*', 'q*'], ['vL', 'p', 'q']])
+            res[i, 0] = npc.norm(c - npc.eye_like(c, 0))
+            B = self.get_B(i, 'B')
+            c = npc.tensordot(B, B.conj(),
+                              axes=[['p', 'q', 'vR'], ['p*', 'q*', 'vR*']])
+            res[i, 1] = npc.norm(c - npc.eye_like(c, 0))
+        return res
+
+    def entanglement_entropy_segment(self, segment, n=1):
+        raise NotImplementedError
+
+    def canonical_form_finite(self, renormalize=True, cutoff=0., envs_to_update=None):
+        """QR/SVD sweeps treating (p, q) as one fat physical leg."""
+        L = self.L
+        Ms = self._stripped_tensors()
+        R = None
+        for i in range(L):
+            M = Ms[i]
+            if R is not None:
+                M = npc.tensordot(R, M, axes=[['vR'], ['vL']])
+            Q, R = npc.qr(M.combine_legs([['vL', 'p', 'q']]),
+                          inner_labels=['vR', 'vL'])
+            Ms[i] = Q.split_legs([0])
+        norm_fact = npc.norm(R)
+        if renormalize:
+            self.norm = 1.
+        else:
+            self.norm = self.norm * norm_fact
+        R = R / norm_fact
+        M = npc.tensordot(Ms[L - 1], R, axes=[['vR'], ['vL']])
+        self.set_SR(L - 1, np.ones(M.get_leg('vR').ind_len))
+        for i in range(L - 1, 0, -1):
+            M_c = M.combine_legs([['p', 'q', 'vR']], qconj=[-1])
+            U, S, VH = npc.svd(M_c, cutoff=cutoff if cutoff else None,
+                               inner_labels=['vR', 'vL'])
+            S = np.asarray(S)
+            S = S / np.linalg.norm(S)
+            self._B[i] = VH.split_legs([1])
+            self.form[i] = self._valid_forms['B']
+            self.set_SL(i, S)
+            M = npc.tensordot(Ms[i - 1], U.iscale_axis(S, 'vR'),
+                              axes=[['vR'], ['vL']])
+        SL0 = self.get_SL(0)
+        self._B[0] = M.copy(deep=False).iscale_axis(self._scale_S(SL0, -1.), 'vL')
+        self.form[0] = self._valid_forms['B']
+        return self

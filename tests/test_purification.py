@@ -1,0 +1,86 @@
+"""Finite-temperature purification tests vs exact thermal expectation values."""
+import numpy as np
+import pytest
+
+from tenpy_tpu.networks.purification_mps import PurificationMPS
+from tenpy_tpu.networks.site import SpinHalfSite
+from tenpy_tpu.algorithms.purification import PurificationTEBD, PurificationTEBD2
+from tenpy_tpu.algorithms.exact_diag import ExactDiag
+
+import sys
+import os
+sys.path.insert(0, os.path.dirname(__file__))
+from test_tebd import xxz_bond_model, tfi_bond_model  # noqa: E402
+
+
+def exact_thermal_E(Hd, beta):
+    w, v = np.linalg.eigh(Hd)
+    Z = np.sum(np.exp(-beta * (w - w[0])))
+    return float(np.sum(w * np.exp(-beta * (w - w[0]))) / Z)
+
+
+def test_infiniteT():
+    L = 4
+    site = SpinHalfSite('Sz')
+    psi = PurificationMPS.from_infiniteT([site] * L)
+    psi.test_sanity()
+    assert np.allclose(psi.expectation_value('Sz'), 0., atol=1e-14)
+    assert abs(psi.overlap(psi) - 1.) < 1e-12
+    assert np.allclose(psi.norm_test(), 0., atol=1e-13)
+
+
+@pytest.mark.parametrize('beta', [0.5, 2.0])
+def test_purification_tebd_thermal(beta):
+    """exp(-beta H/2)|infT> reproduces thermal energies of the XXZ chain."""
+    L = 4
+    sites, model = xxz_bond_model(L)
+    ed = ExactDiag.from_H_mpo(model.H_MPO)
+    ed.build_full_H_from_mpo()
+    Hd = np.asarray(ed.full_H.to_ndarray())
+    psi = PurificationMPS.from_infiniteT(sites)
+    eng = PurificationTEBD(psi, model, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13},
+        'dt': 0.025, 'order': 2})
+    eng.run_imaginary(beta)
+    E = np.sum(eng.bond_energies()) / psi.overlap(psi).real
+    E_exact = exact_thermal_E(Hd, beta)
+    assert abs(E - E_exact) < 1e-3, (E, E_exact)
+
+
+def test_purification_tebd2():
+    L = 4
+    beta = 1.0
+    sites, model = xxz_bond_model(L)
+    ed = ExactDiag.from_H_mpo(model.H_MPO)
+    ed.build_full_H_from_mpo()
+    Hd = np.asarray(ed.full_H.to_ndarray())
+    psi = PurificationMPS.from_infiniteT(sites)
+    eng = PurificationTEBD2(psi, model, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13},
+        'dt': 0.025, 'order': 2})
+    eng.run_imaginary(beta)
+    E = np.sum(eng.bond_energies()) / psi.overlap(psi).real
+    assert abs(E - exact_thermal_E(Hd, beta)) < 1e-3
+
+
+def test_disentangler_renyi():
+    """Renyi disentangler reduces (or keeps) the entanglement during evolution."""
+    L = 4
+    beta = 1.0
+    sites, model = tfi_bond_model(L, g=1.2)
+    psi_plain = PurificationMPS.from_infiniteT(sites)
+    eng_plain = PurificationTEBD(psi_plain, model, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13}, 'dt': 0.05})
+    eng_plain.run_imaginary(beta)
+    S_plain = np.max(psi_plain.entanglement_entropy())
+    psi_dis = PurificationMPS.from_infiniteT(sites)
+    eng_dis = PurificationTEBD(psi_dis, model, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13}, 'dt': 0.05,
+        'disentangle': 'renyi'})
+    eng_dis.run_imaginary(beta)
+    S_dis = np.max(psi_dis.entanglement_entropy())
+    # energies agree regardless of the disentangler (it's a gauge on the ancilla)
+    E_plain = np.sum(eng_plain.bond_energies()) / psi_plain.overlap(psi_plain).real
+    E_dis = np.sum(eng_dis.bond_energies()) / psi_dis.overlap(psi_dis).real
+    assert abs(E_plain - E_dis) < 1e-6
+    assert S_dis <= S_plain + 0.05
