@@ -761,6 +761,23 @@ class Array:
             return self.copy(deep=False)
         return _split_legs_worker(self, sorted(axes))
 
+    def add_leg(self, leg, i, axis=0, label=None):
+        """Embed self at index ``i`` of a new leg inserted at position ``axis``.
+
+        Inverse of :meth:`squeeze` for ``leg.ind_len == 1``; used to lift
+        environment-like tensors onto an MPO virtual leg.
+        Reference: ``tenpy/linalg/np_conserved.py`` ``Array.add_leg``.
+        """
+        flat = np.zeros(leg.ind_len)
+        flat[i] = 1.
+        u = Array.from_ndarray(flat, [leg],
+                               qtotal=leg.to_qflat()[i] * leg.qconj,
+                               labels=[label], warn_wrong_sector=False)
+        res = outer(self, u)
+        perm = list(range(self.rank))
+        perm.insert(axis, self.rank)
+        return res.itranspose(perm)
+
     def squeeze(self, axes=None):
         """Remove legs of length 1 (charge absorbed into qtotal)."""
         if axes is None:
@@ -1656,6 +1673,15 @@ def svd(a, full_matrices=False, compute_uv=True, cutoff=None, qtotal_LR=[None, N
                       slice(int(col_off[cpos[c]]), int(col_off[cpos[c] + 1])))
                 sub = _set_slice(sub, sl, a._data[bi])
         u, s, vh = _robust_svd(sub, full_matrices)
+        if cutoff is not None:
+            keep = np.asarray(s) > cutoff
+            if not keep.all():
+                idx = np.nonzero(keep)[0]
+                u = u.take(idx, axis=1)
+                s = s.take(idx, axis=0) if hasattr(s, 'take') else s[idx]
+                vh = vh.take(idx, axis=0)
+                if u.shape[1] == 0:
+                    continue
         k = u.shape[1]
         # inner charge from the first row sector
         q_row = a.legs[0].charges[rows[0]] * a.legs[0].qconj
@@ -1772,7 +1798,8 @@ def qr(a, mode='reduced', inner_labels=[None, None], cutoff=None, pos_diag_R=Fal
         q, r = xp.linalg.qr(block, mode='reduced' if mode != 'complete' else 'complete')
         if pos_diag_R:
             d = xp.diagonal(r)
-            phase = xp.where(abs(d) > 1e-300, d / abs(d), 1.0)
+            d_safe = xp.where(abs(d) > 1e-300, d, 1.0)
+            phase = xp.where(abs(d) > 1e-300, d_safe / abs(d_safe), 1.0)
             q = q * phase[None, :]
             r = r * phase.conj()[:, None]
         if cutoff is not None:

@@ -375,9 +375,8 @@ class MPO:
         """Energy density of an iMPS from the MPO transfer-matrix fixed point.
 
         Reference: ``mpo.py:1173``."""
-        TM = MPOTransferMatrix(self, psi)
-        data = TM.find_init_LP_RP(tol=tol)
-        return float(np.real(data['energy']))
+        _, Es, _ = MPOTransferMatrix.find_init_LP_RP(self, psi, calc_E=True)
+        return float(np.real(np.mean(Es)))
 
     def variance(self, psi, exact_E=None):
         """<psi|H^2|psi> - <psi|H|psi>^2 for finite psi. Reference: ``mpo.py:1296``."""
@@ -1056,149 +1055,204 @@ def _env_init(leg_v, leg_w, w_idx, dtype, left=True):
 
 
 class MPOTransferMatrix:
-    """Transfer matrix of <psi|H|psi> for an iMPS: fixed-point environments & energy.
+    """Transfer matrix of a Hamiltonian-like MPO sandwiched between canonical iMPS.
 
-    ``find_init_LP_RP`` solves the triangular channel structure of a Schur-form MPO:
-    the IdL channel carries the identity, interior channels accumulate geometric
-    series, and the IdR channel grows linearly with the energy density as prefactor.
-    Reference: ``tenpy/networks/mpo.py:3694``.
+    With the MPO virtual leg split into IdL / interior / IdR channels (Schur
+    form), the transfer matrix has a Jordan-block structure: its generalized
+    dominant eigenvector is the converged environment and the linear-growth
+    coefficient is the energy density.  :meth:`matvec` applies one unit cell and
+    projects out the additive part, so a plain Arnoldi iteration converges to the
+    fixed point with eigenvalue 1.  Reference: ``tenpy/networks/mpo.py:3694``.
+
+    Parameters
+    ----------
+    transpose : bool
+        False: ``matvec`` acts on RP (legs ``vL wL vL*``);
+        True: on LP (legs ``vR* wR vR``).
+    subtraction_gauge : 'rho' | 'trace'
+        Which projector fixes the additive gauge freedom of the generalized
+        eigenvector ('rho': density-matrix weighted -- the choice for which
+        ``energy`` gives the energy density).
     """
 
-    def __init__(self, H, psi, transpose=False, guess=None):
-        assert not psi.finite
+    def __init__(self, H, psi, transpose=False, guess=None,
+                 subtraction_gauge='rho'):
+        if psi.finite or H.bc != 'infinite':
+            raise ValueError("MPOTransferMatrix needs an infinite MPS/MPO")
+        self.L = L = int(np.lcm(H.L, psi.L))
+        norm_err = np.linalg.norm(psi.norm_test())
+        if norm_err > 1e-8:
+            logger.warning("MPOTransferMatrix: psi not in canonical form "
+                           "(norm_err=%.2e); fixed point may be inaccurate", norm_err)
         self.H = H
         self.psi = psi
-        self.L = L = psi.L
         self.transpose = transpose
-        self.dtype = jnp.result_type(H.dtype, psi.dtype)
+        self.dtype = dtype = np.promote_types(
+            np.dtype(str(H.dtype)), np.dtype(str(psi.get_B(0, None).dtype)))
+        self.IdL = H.get_IdL(0)
+        self.IdR = H.get_IdR(-1)
+        if self.IdL is None or self.IdR is None:
+            raise ValueError("MPO needs IdL/IdR structure")
+        S = np.asarray(psi.get_SL(0))
+        self._M, self._W, self._Mc = [], [], []
+        if not transpose:  # fixed point of RP (right-to-left)
+            wR = H.get_W(L - 1).get_leg('wR')
+            wL_leg = wR.conj()
+            vR = psi.get_B(psi.L - 1, 'B').get_leg('vR')
+            rho = npc.diag(S ** 2, vR, labels=['vR', 'vR*'])
+            for i in range(L):
+                B = psi.get_B(i, 'B')
+                self._M.append(B)
+                self._W.append(H.get_W(i))
+                self._Mc.append(B.conj())
+            self._chi0 = chi0 = vR.ind_len
+            eye_R = npc.diag(1., vR.conj(), dtype=dtype, labels=['vL', 'vL*'])
+            self._E_shift = eye_R.add_leg(wL_leg, self.IdL, axis=1, label='wL')
+            self._proj_trace = self._E_shift.conj().iset_leg_labels(
+                ['vR', 'wR', 'vR*']) / chi0
+            self._proj_norm = eye_R.add_leg(wL_leg, self.IdR, axis=1,
+                                            label='wL').conj()
+            self._proj_rho = rho.add_leg(wR, self.IdL, axis=1, label='wR')
+            self._guess_default = eye_R.add_leg(wL_leg, self.IdR, axis=1,
+                                                label='wL')
+            self._axes = (['vL', 'wL', 'vL*'], ['vR', 'wR', 'vR*'])
+        else:  # fixed point of LP (left-to-right)
+            wL = H.get_W(0).get_leg('wL')
+            wR_leg = wL.conj()
+            vL = psi.get_B(0, 'A').get_leg('vL')
+            rho = npc.diag(S ** 2, vL.conj(), labels=['vL*', 'vL'])
+            for i in range(L):
+                A = psi.get_B(i, 'A')
+                self._M.append(A)
+                self._W.append(H.get_W(i))
+                self._Mc.append(A.conj())
+            self._chi0 = chi0 = vL.ind_len
+            eye_L = npc.diag(1., vL, dtype=dtype, labels=['vR*', 'vR'])
+            self._E_shift = eye_L.add_leg(wR_leg, self.IdR, axis=1, label='wR')
+            self._proj_trace = self._E_shift.conj().iset_leg_labels(
+                ['vL*', 'wL', 'vL']) / chi0
+            self._proj_norm = eye_L.add_leg(wR_leg, self.IdL, axis=1,
+                                            label='wR').conj()
+            self._proj_rho = rho.add_leg(wL, self.IdR, axis=1, label='wL')
+            self._guess_default = eye_L.add_leg(wR_leg, self.IdL, axis=1,
+                                                label='wR')
+            self._axes = (['vR*', 'wR', 'vR'], ['vL*', 'wL', 'vL'])
+        self._proj_subtr = self._proj_rho if subtraction_gauge == 'rho' \
+            else self._proj_trace
+        if guess is not None:
+            try:
+                guess = guess.transpose(self._axes[0])
+                for lbl, leg in zip(self._axes[0], self._guess_default.legs):
+                    guess.get_leg(lbl).test_equal(leg)
+            except (ValueError, KeyError):
+                logger.warning("MPOTransferMatrix: dropping incompatible guess")
+                guess = None
+            else:
+                guess = self._project(guess)
+        self.guess = guess if guess is not None else self._guess_default
 
-    def find_init_LP_RP(self, tol=1e-12, gmres_options=None):
-        """Compute converged LP/RP environments and the energy density.
-
-        Returns dict with 'init_LP', 'init_RP', 'energy' (per site).
-        """
-        from ..linalg.krylov_based import GMRES
-        psi = self.psi
-        H = self.H
-        L = self.L
-        # --- left environment ---
-        LP = self._solve_env(left=True, tol=tol)
-        RP = self._solve_env(left=False, tol=tol)
-        return {'init_LP': LP['env'], 'init_RP': RP['env'],
-                'energy': 0.5 * (LP['energy'] + RP['energy'])}
-
-    def _solve_env(self, left=True, tol=1e-12):
-        psi = self.psi
-        H = self.H
-        L = self.L
-        if left:
-            leg_v = psi.get_B(0, 'A').get_leg('vL')
-            leg_w = H.get_W(0).get_leg('wL')
-            Id_start = H.get_IdL(0)
-            Id_end = H.get_IdR(-1) if False else H.IdR[0]
-            n_w = leg_w.ind_len
+    def matvec(self, vec, project=True):
+        """Apply one unit cell of the transfer matrix (and project if requested)."""
+        labels = ['vR*', 'wR', 'vR'] if self.transpose else ['vL', 'wL', 'vL*']
+        if any(l is None for l in vec.get_leg_labels()):
+            # coming from FlatLinearOperator's pipe roundtrip: order is preserved
+            vec = vec.copy(deep=False)
+            vec.iset_leg_labels(labels)
+        if not self.transpose:
+            vec = vec.transpose(['vL', 'wL', 'vL*'])
+            for i in range(self.L - 1, -1, -1):
+                vec = npc.tensordot(self._M[i], vec, axes=[['vR'], ['vL']])
+                vec = npc.tensordot(vec, self._W[i],
+                                    axes=[['p', 'wL'], ['p*', 'wR']])
+                vec = npc.tensordot(vec, self._Mc[i],
+                                    axes=[['vL*', 'p'], ['vR*', 'p*']])
+                vec.itranspose(['vL', 'wL', 'vL*'])
         else:
-            leg_v = psi.get_B(L - 1, 'B').get_leg('vR')
-            leg_w = H.get_W(L - 1).get_leg('wR')
-            Id_start = H.IdR[0]
-            Id_end = H.IdL[0]
-            n_w = leg_w.ind_len
-        # iterate: apply the unit-cell MPO-transfer repeatedly on each channel,
-        # solving the geometric series with GMRES on the IdR/IdL channel.
-        # Simple robust scheme: power-iterate  E' = T(E) - e * N  with energy
-        # subtraction until convergence.
-        env = self._trivial_env(left, Id_start)
-        e_prev = None
-        energy = 0.
-        for it in range(200):
-            env_new = self._apply_TM(env, left)
-            # energy per unit cell: growth of the Id_end channel overlap with rho
-            e = self._energy_of(env_new, left, Id_end) - \
-                self._energy_of(env, left, Id_end)
-            # subtract the linear growth: reset Id_end channel trace part
-            env = env_new
-            env = self._subtract_linear(env, left, Id_end, e * (it + 1) / (it + 1))
-            if e_prev is not None and abs(e - e_prev) < tol * max(abs(e), 1.):
-                energy = e
-                break
-            e_prev = e
-            energy = e
-        return {'env': env, 'energy': energy / L}
-
-    def _trivial_env(self, left, Id_idx):
-        psi = self.psi
-        H = self.H
-        if left:
-            leg_v = psi.get_B(0, None).get_leg('vL')
-            leg_w = H.get_W(0).get_leg('wL')
-            return _env_init(leg_v, leg_w, Id_idx, self.dtype, left=True)
-        leg_v = psi.get_B(self.L - 1, None).get_leg('vR')
-        leg_w = H.get_W(self.L - 1).get_leg('wR')
-        return _env_init(leg_v, leg_w, Id_idx, self.dtype, left=False)
-
-    def _apply_TM(self, env, left):
-        psi = self.psi
-        H = self.H
-        if left:
+            vec = vec.transpose(['vR*', 'wR', 'vR'])
             for i in range(self.L):
-                env = npc.tensordot(env, psi.get_B(i, 'A'), axes=[['vR'], ['vL']])
-                env = npc.tensordot(H.get_W(i), env, axes=[['wL', 'p*'], ['wR', 'p']])
-                env = npc.tensordot(psi.get_B(i, 'A').conj(), env,
-                                    axes=[['vL*', 'p*'], ['vR*', 'p']])
-                env = env.itranspose(['vR*', 'wR', 'vR'])
-            return env
-        for i in range(self.L - 1, -1, -1):
-            env = npc.tensordot(psi.get_B(i, 'B'), env, axes=[['vR'], ['vL']])
-            env = npc.tensordot(env, H.get_W(i), axes=[['p', 'wL'], ['p*', 'wR']])
-            env = npc.tensordot(env, psi.get_B(i, 'B').conj(),
-                                axes=[['p', 'vL*'], ['p*', 'vR*']])
-            env = env.itranspose(['vL*', 'wL', 'vL'])
-        return env
+                vec = npc.tensordot(vec, self._M[i], axes=[['vR'], ['vL']])
+                vec = npc.tensordot(self._W[i], vec,
+                                    axes=[['wL', 'p*'], ['wR', 'p']])
+                vec = npc.tensordot(self._Mc[i], vec,
+                                    axes=[['p*', 'vL*'], ['p', 'vR*']])
+                vec.itranspose(['vR*', 'wR', 'vR'])
+        if project:
+            vec = self._project(vec)
+        return vec
 
-    def _energy_of(self, env, left, Id_end):
-        """Trace of the Id_end channel against the state's density matrix."""
-        psi = self.psi
-        if left:
-            # contract with rho_R = diag(S_0^2) on bond 0
-            S2 = np.asarray(psi.get_SL(0)) ** 2
-            sub = _take_w_index(env, 'wR', Id_end)
-            val = npc.trace(sub.copy(deep=False).iscale_axis(S2, 'vR'), 'vR*', 'vR')
-        else:
-            S2 = np.asarray(psi.get_SL(0)) ** 2
-            sub = _take_w_index(env, 'wL', Id_end)
-            val = npc.trace(sub.copy(deep=False).iscale_axis(S2, 'vL'), 'vL*', 'vL')
-        return float(np.real(complex(val)))
+    def _project(self, vec):
+        """Subtract the additive (linearly growing) part from vec."""
+        E = npc.inner(vec, self._proj_subtr, axes=self._axes, do_conj=False)
+        return vec - self._E_shift * E
 
-    def _subtract_linear(self, env, left, Id_end, e):
-        """Remove e * identity from the Id_end channel (keeps iteration bounded)."""
-        if left:
-            leg_v = env.get_leg('vR*')
-            corr = npc.diag(1., leg_v, dtype=env.dtype, labels=['vR*', 'vR'])
-            w_leg = env.get_leg('wR')
-            n_w = w_leg.ind_len
-            vec = np.zeros(n_w)
-            vec[Id_end] = e
-            w_arr = npc.Array.from_ndarray(
-                np.asarray(vec), [w_leg],
-                qtotal=w_leg.to_qflat()[Id_end] * w_leg.qconj,
-                warn_wrong_sector=False)
-            corr = npc.outer(corr, w_arr)
-            corr.iset_leg_labels(['vR*', 'vR', 'wR'])
-            corr.itranspose(['vR*', 'wR', 'vR'])
+    def dominant_eigenvector(self, options=None):
+        """Dominant eigenvector of the projected transfer matrix via Arnoldi.
+
+        Returns ``(val, vec)`` with val ~ 1 and vec normalized such that the
+        trace of its Id channel is chi0."""
+        from ..linalg.sparse import FlatLinearOperator
+        linop, v0 = FlatLinearOperator.from_guess_with_pipe(
+            self.matvec, self.guess, dtype=self.dtype)
+        n = linop.shape[0]
+        if n <= 8:  # ARPACK needs k < n-1; tiny sectors (chi=1 states) go dense
+            basis = np.eye(n, dtype=self.dtype)
+            mat = np.stack([linop._matvec(basis[:, j]) for j in range(n)], axis=1)
+            evals, evecs = np.linalg.eig(mat)
+            order = np.argsort(-np.abs(evals))
+            val = evals[order[0]]
+            vec = linop.flat_to_npc(evecs[:, order[0]])
         else:
-            leg_v = env.get_leg('vL')
-            corr = npc.diag(1., leg_v, dtype=env.dtype, labels=['vL', 'vL*'])
-            w_leg = env.get_leg('wL')
-            vec = np.zeros(w_leg.ind_len)
-            vec[Id_end] = e
-            w_arr = npc.Array.from_ndarray(
-                np.asarray(vec), [w_leg],
-                qtotal=w_leg.to_qflat()[Id_end] * w_leg.qconj,
-                warn_wrong_sector=False)
-            corr = npc.outer(corr, w_arr)
-            corr.iset_leg_labels(['vL', 'vL*', 'wL'])
-            corr.itranspose(['vL*', 'wL', 'vL'])
-        return env - corr
+            opts = dict(options or {})
+            vals, vecs = linop.eigenvectors(num_ev=1, which='LM', v0_npc=v0,
+                                            **opts)
+            val, vec = vals[0], vecs[0]
+        vec = vec.split_legs([0])
+        vec.iset_leg_labels(list(self._axes[0]))
+        norm = npc.inner(self._proj_norm, vec, axes='range',
+                         do_conj=False) / self._chi0
+        return val, vec / norm
+
+    def energy(self, dom_vec):
+        """Energy per MPS site, from the growth rate of the dominant eigenvector."""
+        E0 = npc.inner(dom_vec, self._proj_rho, axes=self._axes, do_conj=False)
+        vec = self.matvec(dom_vec, project=False)
+        E = npc.inner(vec, self._proj_rho, axes=self._axes, do_conj=False)
+        return (E - E0) / self.L
+
+    @classmethod
+    def find_init_LP_RP(cls, H, psi, calc_E=False, guess_init_env_data=None,
+                        tol_ev0=1e-8, subtraction_gauge='rho', options=None):
+        """Converged initial LP/RP environments of an infinite MPS.
+
+        Returns ``init_env_data`` dict (keys ``init_LP, init_RP, age_LP, age_RP``),
+        plus ``(Es, E0)`` if calc_E: ``Es = [e_R, e_L]`` energy densities from
+        either fixed point and ``E0`` the full <LP|S^2|RP> contraction.
+        Reference: ``tenpy/networks/mpo.py`` same name.
+        """
+        if guess_init_env_data is None:
+            guess_init_env_data = {}
+        envs, Es = [], []
+        for transpose in [False, True]:
+            guess = guess_init_env_data.get(
+                'init_LP' if transpose else 'init_RP', None)
+            TM = cls(H, psi, transpose=transpose, guess=guess,
+                     subtraction_gauge=subtraction_gauge)
+            val, vec = TM.dominant_eigenvector(options=options)
+            if abs(1. - val) > tol_ev0:
+                logger.warning("MPOTransferMatrix eigenvalue not 1: got %s", val)
+            envs.append(vec)
+            if calc_E:
+                Es.append(np.real_if_close(TM.energy(vec)))
+        init_env_data = {'init_LP': envs[1], 'init_RP': envs[0],
+                         'age_LP': 0, 'age_RP': 0}
+        if not calc_E:
+            return init_env_data
+        SL = np.asarray(psi.get_SL(0))
+        LP = envs[1].copy(deep=False).iscale_axis(SL, 'vR')
+        LP = LP.iscale_axis(SL, 'vR*')
+        E0 = npc.tensordot(LP, envs[0],
+                           axes=[['vR', 'wR', 'vR*'], ['vL', 'wL', 'vL*']])
+        return init_env_data, Es, complex(E0)
 
 
 def _take_w_index(a, label, idx):

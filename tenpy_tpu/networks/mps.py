@@ -66,6 +66,8 @@ class MPS:
     }
     _valid_bc = ('finite', 'segment', 'infinite')
 
+    _p_label = ['p']  # physical leg labels per site
+
     def __init__(self, sites, Bs, SVs, bc='finite', form='B', norm=1.):
         self.sites = list(sites)
         self.chinfo = self.sites[0].leg.chinfo
@@ -774,17 +776,43 @@ class MPS:
             return self.canonical_form_finite(**kwargs)
         return self.canonical_form_infinite(**kwargs)
 
-    def _stripped_tensors(self):
+    def _stripped_tensors(self, pinv_cutoff=None):
         """Raw chain tensors whose plain product is the state.
 
         If ALL forms are known, convert everything to B-form (the finite-bc product of
         B-form tensors is the state).  If ANY form is None the stored S values are not
         trustworthy -- then the caller guarantees that the product of the RAW stored
         tensors is the state (e.g. after an MPO application), so return those.
+
+        With ``pinv_cutoff`` (a *relative* threshold), S-inversions in the form
+        conversion use a zeroing pseudo-inverse: Schmidt directions with
+        ``S < pinv_cutoff * max(S)`` give ZERO rows instead of noise amplified by
+        1/S.  A zero row is harmless in chain products (the direction simply
+        never activates), whereas amplified noise silently corrupts the state --
+        essential when canonicalizing states carrying Schmidt values at the
+        numerical noise floor (see reference ``mps.py:4721`` precision warning).
         """
         if any(f is None for f in self.form):
             return [self._B[i] for i in range(self.L)]
-        return [self.get_B(i, 'B') for i in range(self.L)]
+        if pinv_cutoff is None:
+            return [self.get_B(i, 'B') for i in range(self.L)]
+        Ms = []
+        for i in range(self.L):
+            fL, fR = self.form[i]
+            M = self._B[i].copy(deep=False)
+            for exp, S, ax in [(-fL, self.get_SL(i), 'vL'),
+                               (1. - fR, self.get_SR(i), 'vR')]:
+                if exp == 0.:
+                    continue
+                S = np.asarray(S)
+                if exp < 0:
+                    floor = pinv_cutoff * np.max(S)
+                    fac = np.where(S > floor, np.where(S > 0, S, 1.) ** exp, 0.)
+                else:
+                    fac = S ** exp
+                M = M.iscale_axis(fac, ax)
+            Ms.append(M)
+        return Ms
 
     def canonical_form_finite(self, renormalize=True, cutoff=0., envs_to_update=None):
         """QR sweep left->right, then SVD sweep right->left.
@@ -829,13 +857,72 @@ class MPS:
         self.form[0] = self._valid_forms['B']
         return self
 
-    def canonical_form_infinite(self, renormalize=True, tol_xi=1e6, cutoff=1e-16,
-                                arnoldi_params=None):
+    def canonical_form_infinite(self, renormalize=True, tol=1e-14, cutoff=1e-15,
+                                arnoldi_params=None, **kwargs):
+        """Canonicalize an infinite MPS by iterated QR orthogonalization; in place.
+
+        Inverse-free (numerically robust even for singular values at the noise
+        floor), following Algorithm 1+2 of vanderstraeten2019.
+        Reference: ``tenpy/networks/mps.py:4721`` (canonical_form_infinite2).
+        """
+        assert self.bc == 'infinite'
+        L = self.L
+        p_label = list(getattr(self, '_p_label', ['p']))
+        Ms = self._stripped_tensors(pinv_cutoff=1e-8)
+        if any(f is None for f in self.form):
+            self._S[0] = np.ones(Ms[0].get_leg('vL').ind_len)
+        # 1) right-orthogonalize:  M_i R_{i+1} = R_i B_i  with right-isometric B
+        R = npc.diag(1., Ms[0].get_leg('vL'), labels=['vL', 'vR'])
+        Bs, R, norm_fact = _cf_orthogonalize(Ms, R, tol, p_label, left=False,
+                                             arnoldi_params=arnoldi_params)
+        # 2) left-orthogonalize the new Bs:  C_i B_i = A_i C_{i+1}
+        SL0 = np.asarray(self.get_SL(0))
+        legB0 = Bs[0].get_leg('vL')
+        if SL0.ndim == 1 and SL0.shape[0] == legB0.ind_len:
+            C = npc.diag(SL0 / np.linalg.norm(SL0), legB0, labels=['vL', 'vR'])
+        else:
+            C = npc.diag(1., legB0, labels=['vL', 'vR'])
+        As, C, _ = _cf_orthogonalize(Bs, C, tol, p_label, left=True,
+                                     arnoldi_params=arnoldi_params)
+        # 3) diagonalize the gauge:  C = U S V;  then sweep SVDs right-to-left to
+        #    store B-form tensors and diagonal S on every bond.
+        C.itranspose(['vL', 'vR'])
+        U, S, V = npc.svd(C, cutoff=cutoff, inner_labels=['vR', 'vL'])
+        As[0] = npc.tensordot(U.conj().ireplace_label('vR*', 'vL'), As[0],
+                              axes=[['vL*'], ['vL']])
+        for i in range(L - 1, -1, -1):
+            th = npc.tensordot(As[i], U.scale_axis(np.asarray(S), 'vR'),
+                               axes=[['vR'], ['vL']])
+            th = th.combine_legs([p_label + ['vR']], qconj=[-1])
+            U, S, V = npc.svd(th, cutoff=cutoff, inner_labels=['vR', 'vL'])
+            S = np.asarray(S)
+            S = S / np.linalg.norm(S)
+            self._B[i] = V.split_legs([1])
+            self.form[i] = self._valid_forms['B']
+            self.set_SL(i, S)
+        self._B[L - 1] = npc.tensordot(self._B[L - 1], U, axes=[['vR'], ['vL']])
+        if renormalize:
+            self.norm = 1.
+        else:
+            self.norm = self.norm * norm_fact
+        truncated = any(
+            len(np.asarray(self._S[i])) != As[i].get_leg('vL').ind_len
+            for i in range(L))
+        if truncated:
+            # dropping Schmidt directions mid-gauge perturbs the canonical form;
+            # one more (now truncation-free) pass restores it exactly
+            return self.canonical_form_infinite(
+                renormalize=renormalize, tol=tol, cutoff=None,
+                arnoldi_params=arnoldi_params)
+        return self
+
+    def canonical_form_infinite1(self, renormalize=True, tol_xi=1e6, cutoff=1e-16,
+                                 arnoldi_params=None):
         """Gauge an infinite MPS to canonical form: per-charge-sector gauge fixing on
         bond 0 from the dominant transfer-matrix fixed points, then QR/SVD sweeps
         through the unit cell.
 
-        Reference: ``mps.py:4721`` (canonical_form_infinite2).
+        Reference: ``mps.py:4599`` (canonical_form_infinite1).
         """
         assert self.bc == 'infinite'
         L = self.L
@@ -1649,3 +1736,102 @@ def build_initial_state(size, states, filling, mode='random', seed=None):
         rng = np.random.default_rng(seed)
         rng.shuffle(result)
     return result
+
+
+class _OrthoTM:
+    """Mixed transfer matrix between fixed isometries Qs (bra) and tensors Ms (ket),
+    used to accelerate the QR-iteration canonicalization (Arnoldi on the gauge)."""
+
+    def __init__(self, Qs, Ms, left):
+        self.Qs = Qs
+        self.Ms = Ms
+        self.left = left
+
+    def matvec(self, x):
+        if self.left:   # x legs (vL=new, vR=old); sweep left-to-right
+            for Q, M in zip(self.Qs, self.Ms):
+                x = npc.tensordot(x, M, axes=[['vR'], ['vL']])
+                x = npc.tensordot(Q.conj(), x,
+                                  axes=[[l + '*' for l in Q.get_leg_labels()[:-1]],
+                                        list(Q.get_leg_labels()[:-1])])
+                x.ireplace_label('vR*', 'vL')
+                x.itranspose(['vL', 'vR'])
+        else:           # x legs (vL=old, vR=new); sweep right-to-left
+            for Q, M in zip(reversed(self.Qs), reversed(self.Ms)):
+                x = npc.tensordot(M, x, axes=[['vR'], ['vL']])
+                x = npc.tensordot(x, Q.conj(),
+                                  axes=[[l for l in Q.get_leg_labels()[1:]],
+                                        [l + '*' for l in Q.get_leg_labels()[1:]]])
+                x.ireplace_label('vL*', 'vR')
+                x.itranspose(['vL', 'vR'])
+        return x
+
+
+def _cf_orthogonalize(Ms, X, tol, p_label, left, arnoldi_params=None,
+                      max_iters=1000):
+    """Iterated QR orthogonalization of an infinite unit cell (Alg. 1/2 of
+    vanderstraeten2019): find isometric Qs and gauge X with
+    ``X_i M_i = Q_i X_{i+1}`` (left) or ``M_i X_{i+1} = X_i Q_i`` (right).
+
+    Returns ``(Qs, X, norm)`` with the converged per-unit-cell norm factor.
+    Inverse-free; Arnoldi on the mixed transfer matrix accelerates convergence
+    when the correlation length is large.
+    """
+    from ..linalg.krylov_based import Arnoldi
+    L = len(Ms)
+    err = np.inf
+    norm = 1.
+    for _ in range(max_iters):
+        X = X / npc.norm(X)
+        X_old = X
+        Qs = [None] * L
+        if left:
+            for i in range(L):
+                XM = npc.tensordot(X, Ms[i], axes=[['vR'], ['vL']])
+                XM = XM.combine_legs([['vL'] + p_label], qconj=[+1])
+                Q, X = npc.qr(XM, inner_labels=['vR', 'vL'], pos_diag_R=True,
+                              qtotal_Q=XM.qtotal)
+                Qs[i] = Q.split_legs([0])
+        else:
+            for i in range(L - 1, -1, -1):
+                MX = npc.tensordot(Ms[i], X, axes=[['vR'], ['vL']])
+                MX = MX.combine_legs([p_label + ['vR']], qconj=[-1])
+                X, Q = npc.lq(MX, inner_labels=['vR', 'vL'], pos_diag_L=True,
+                              qtotal_L=MX.qtotal)
+                Qs[i] = Q.split_legs([1])
+        norm = npc.norm(X)
+        X = X / norm
+        try:
+            X_old_t = X_old.transpose(X.get_leg_labels())
+            for la, lb in zip(X.legs, X_old_t.legs):
+                # require the SAME leg (qconj & charges), not just compatible shapes:
+                # the first sweep changes the inner-leg convention, and comparing
+                # across that boundary would declare false convergence
+                if la.qconj != lb.qconj or not np.array_equal(la.charges, lb.charges) \
+                        or not np.array_equal(la.slices, lb.slices):
+                    raise ValueError("leg mismatch")
+            err = npc.norm(X - X_old_t)
+        except (ValueError, AssertionError):
+            err = np.inf  # leg structure changed (first iterations): keep going
+        if err <= tol:
+            return Qs, X, norm
+        if err < 1e-2:  # Arnoldi acceleration once roughly converged
+            opts = dict(arnoldi_params or {})
+            opts.setdefault('N_max', 20)
+            opts['E_tol'] = max(err / 10., 1e-16)
+            opts.setdefault('which', 'LM')
+            try:
+                _, X_acc, _ = Arnoldi(_OrthoTM(Qs, Ms, left), X, opts).run()
+                if left:
+                    _, X_acc = npc.qr(X_acc.itranspose(['vL', 'vR']),
+                                      inner_labels=['vR', 'vL'], pos_diag_R=True)
+                    X_acc.iset_leg_labels(['vL', 'vR'])
+                else:
+                    X_acc, _ = npc.lq(X_acc.itranspose(['vL', 'vR']),
+                                      inner_labels=['vR', 'vL'], pos_diag_L=True)
+                    X_acc.iset_leg_labels(['vL', 'vR'])
+                X = X_acc
+            except Exception:
+                pass  # fall back to plain power iteration
+    raise RuntimeError(
+        f"canonical_form_infinite did not converge to tol={tol}; last err={err}")

@@ -26,6 +26,8 @@ __all__ = ['PurificationMPS']
 class PurificationMPS(MPS):
     """MPS with a physical leg ``p`` and an ancilla leg ``q`` per site."""
 
+    _p_label = ['p', 'q']
+
     # canonical forms act on both p and q; conventions identical to MPS otherwise
 
     def test_sanity(self):
