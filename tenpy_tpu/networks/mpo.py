@@ -1081,7 +1081,7 @@ class MPOTransferMatrix:
             raise ValueError("MPOTransferMatrix needs an infinite MPS/MPO")
         self.L = L = int(np.lcm(H.L, psi.L))
         norm_err = np.linalg.norm(psi.norm_test())
-        if norm_err > 1e-8:
+        if norm_err > 1e-6:
             logger.warning("MPOTransferMatrix: psi not in canonical form "
                            "(norm_err=%.2e); fixed point may be inaccurate", norm_err)
         self.H = H
@@ -1093,13 +1093,20 @@ class MPOTransferMatrix:
         self.IdR = H.get_IdR(-1)
         if self.IdL is None or self.IdR is None:
             raise ValueError("MPO needs IdL/IdR structure")
-        S = np.asarray(psi.get_SL(0))
+        S = psi.get_SL(0)
+        S_is_matrix = isinstance(S, npc.Array)
+        if not S_is_matrix:
+            S = np.asarray(S)
         self._M, self._W, self._Mc = [], [], []
         if not transpose:  # fixed point of RP (right-to-left)
             wR = H.get_W(L - 1).get_leg('wR')
             wL_leg = wR.conj()
             vR = psi.get_B(psi.L - 1, 'B').get_leg('vR')
-            rho = npc.diag(S ** 2, vR, labels=['vR', 'vR*'])
+            if S_is_matrix:  # e.g. UniformMPS center matrix C
+                rho = npc.tensordot(S, S.conj(), axes=[['vL'], ['vL*']])
+                rho.iset_leg_labels(['vR', 'vR*'])
+            else:
+                rho = npc.diag(S ** 2, vR, labels=['vR', 'vR*'])
             for i in range(L):
                 B = psi.get_B(i, 'B')
                 self._M.append(B)
@@ -1120,7 +1127,11 @@ class MPOTransferMatrix:
             wL = H.get_W(0).get_leg('wL')
             wR_leg = wL.conj()
             vL = psi.get_B(0, 'A').get_leg('vL')
-            rho = npc.diag(S ** 2, vL.conj(), labels=['vL*', 'vL'])
+            if S_is_matrix:
+                rho = npc.tensordot(S.conj(), S, axes=[['vR*'], ['vR']])
+                rho.iset_leg_labels(['vL*', 'vL'])
+            else:
+                rho = npc.diag(S ** 2, vL.conj(), labels=['vL*', 'vL'])
             for i in range(L):
                 A = psi.get_B(i, 'A')
                 self._M.append(A)
@@ -1247,11 +1258,18 @@ class MPOTransferMatrix:
                          'age_LP': 0, 'age_RP': 0}
         if not calc_E:
             return init_env_data
-        SL = np.asarray(psi.get_SL(0))
-        LP = envs[1].copy(deep=False).iscale_axis(SL, 'vR')
-        LP = LP.iscale_axis(SL, 'vR*')
-        E0 = npc.tensordot(LP, envs[0],
-                           axes=[['vR', 'wR', 'vR*'], ['vL', 'wL', 'vL*']])
+        SL = psi.get_SL(0)
+        if isinstance(SL, npc.Array):
+            E0 = npc.tensordot(envs[1], SL, axes=[['vR'], ['vL']])
+            E0 = npc.tensordot(E0, SL.conj(), axes=[['vR*'], ['vL*']])
+            E0 = npc.tensordot(E0, envs[0],
+                               axes=[['vR', 'wR', 'vR*'], ['vL', 'wL', 'vL*']])
+        else:
+            SL = np.asarray(SL)
+            LP = envs[1].copy(deep=False).iscale_axis(SL, 'vR')
+            LP = LP.iscale_axis(SL, 'vR*')
+            E0 = npc.tensordot(LP, envs[0],
+                               axes=[['vR', 'wR', 'vR*'], ['vL', 'wL', 'vL*']])
         return init_env_data, Es, complex(E0)
 
 
