@@ -27,6 +27,41 @@ __all__ = ['KrylovBased', 'LanczosGroundState', 'LanczosEvolution', 'Arnoldi',
            'plot_stats']
 
 
+def _v_copy(v):
+    """Copy a Krylov vector (npc Array or list of Arrays)."""
+    if isinstance(v, list):
+        return [x.copy(deep=False) for x in v]
+    return v.copy(deep=False)
+
+
+def _v_norm(v):
+    if isinstance(v, list):
+        return float(np.linalg.norm([float(npc.norm(x)) for x in v]))
+    return float(npc.norm(v))
+
+
+def _v_inner(v, w):
+    """<v|w> with conjugation of v; supports lists (direct-sum vectors)."""
+    if isinstance(v, list):
+        return sum(complex(npc.inner(a.conj(), b, axes='range'))
+                   for a, b in zip(v, w))
+    return complex(npc.inner(v.conj(), w, axes='range'))
+
+
+def _v_scale(v, a):
+    if isinstance(v, list):
+        return [x * a for x in v]
+    return v * a
+
+
+def _v_axpy(a, x, y):
+    """y + a * x (new object); supports lists."""
+    if isinstance(y, list):
+        return [yi + a * xi for yi, xi in zip(y, x)]
+    return y + a * x
+
+
+
 class KrylovBased:
     """Base class handling orthonormal Krylov-basis construction.
 
@@ -36,7 +71,7 @@ class KrylovBased:
 
     def __init__(self, H, psi0, options):
         self.H = H
-        self.psi0 = psi0.copy(deep=False)
+        self.psi0 = _v_copy(psi0)
         self.options = options = asConfig(options, self.__class__.__name__)
         self.N_min = options.get('N_min', 2, int)
         self.N_max = options.get('N_max', 20, int)
@@ -74,10 +109,10 @@ class LanczosGroundState(KrylovBased):
 
     def run(self):
         psi = self.psi0
-        norm0 = npc.norm(psi)
+        norm0 = _v_norm(psi)
         if norm0 < 1e-14:
             raise ValueError("Lanczos with zero initial vector")
-        w = psi / norm0
+        w = _v_scale(psi, 1. / norm0)
         cache = [w]
         alphas = []
         betas = []
@@ -87,16 +122,16 @@ class LanczosGroundState(KrylovBased):
         for k in range(N_max):
             hw = self.H.matvec(cache[-1])
             if self.E_shift is not None:
-                hw = hw + self.E_shift * cache[-1]
-            alpha = float(np.real(complex(npc.inner(cache[-1].conj(), hw, axes='range'))))
+                hw = _v_axpy(self.E_shift, cache[-1], hw)
+            alpha = float(np.real(_v_inner(cache[-1], hw)))
             alphas.append(alpha)
-            hw = hw - alpha * cache[-1]
+            hw = _v_axpy(-alpha, cache[-1], hw)
             if len(cache) > 1:
-                hw = hw - betas[-1] * cache[-2]
+                hw = _v_axpy(-betas[-1], cache[-2], hw)
             if self.reortho:
                 for v in vecs_all[:-1]:
-                    hw = hw - complex(npc.inner(v.conj(), hw, axes='range')) * v
-            beta = npc.norm(hw)
+                    hw = _v_axpy(-_v_inner(v, hw), v, hw)
+            beta = _v_norm(hw)
             # diagonalize current tridiagonal T
             T = _tridiag(alphas, betas)
             evals, evecs = np.linalg.eigh(T)
@@ -119,7 +154,7 @@ class LanczosGroundState(KrylovBased):
                 E_out = float(E - (self.E_shift or 0.))
                 return E_out, psi_out, N
             betas.append(float(beta))
-            w_next = hw / beta
+            w_next = _v_scale(hw, 1. / beta)
             self._to_cache(w_next, cache, self.N_cache)
             if self.reortho:
                 vecs_all.append(w_next)
@@ -128,29 +163,29 @@ class LanczosGroundState(KrylovBased):
     def _build_vector(self, coeff, N):
         """Second pass: rebuild Ritz vector sum_k coeff[k] v_k (re-running Lanczos if the
         cache was too small to hold all basis vectors)."""
-        psi = self.psi0 / npc.norm(self.psi0)
+        psi = _v_scale(self.psi0, 1. / _v_norm(self.psi0))
         cache = [psi]
-        result = coeff[0] * psi
+        result = _v_scale(psi, coeff[0])
         alphas = []
         betas = []
         for k in range(N - 1):
             hw = self.H.matvec(cache[-1])
             if self.E_shift is not None:
-                hw = hw + self.E_shift * cache[-1]
-            alpha = float(np.real(complex(npc.inner(cache[-1].conj(), hw, axes='range'))))
-            hw = hw - alpha * cache[-1]
+                hw = _v_axpy(self.E_shift, cache[-1], hw)
+            alpha = float(np.real(_v_inner(cache[-1], hw)))
+            hw = _v_axpy(-alpha, cache[-1], hw)
             if len(cache) > 1:
-                hw = hw - betas[-1] * cache[-2]
-            beta = npc.norm(hw)
+                hw = _v_axpy(-betas[-1], cache[-2], hw)
+            beta = _v_norm(hw)
             if beta < self._cutoff:
                 break
             betas.append(beta)
-            w = hw / beta
-            result = result + coeff[k + 1] * w
+            w = _v_scale(hw, 1. / beta)
+            result = _v_axpy(coeff[k + 1], w, result)
             self._to_cache(w, cache, 2)
-        n = npc.norm(result)
+        n = _v_norm(result)
         if n > 0:
-            result = result / n
+            result = _v_scale(result, 1. / n)
         return result
 
 
@@ -168,8 +203,8 @@ class LanczosEvolution(LanczosGroundState):
     def run(self, delta, normalize=None):
         self.delta = delta
         psi = self.psi0
-        norm0 = npc.norm(psi)
-        w = psi / norm0
+        norm0 = _v_norm(psi)
+        w = _v_scale(psi, 1. / norm0)
         cache = [w]
         vecs = [w]
         alphas = []
@@ -179,13 +214,13 @@ class LanczosEvolution(LanczosGroundState):
         for k in range(self.N_max):
             hw = self.H.matvec(cache[-1])
             if self.E_shift is not None:
-                hw = hw + self.E_shift * cache[-1]
-            alpha = float(np.real(complex(npc.inner(cache[-1].conj(), hw, axes='range'))))
+                hw = _v_axpy(self.E_shift, cache[-1], hw)
+            alpha = float(np.real(_v_inner(cache[-1], hw)))
             alphas.append(alpha)
-            hw = hw - alpha * cache[-1]
+            hw = _v_axpy(-alpha, cache[-1], hw)
             if len(cache) > 1:
-                hw = hw - betas[-1] * cache[-2]
-            beta = npc.norm(hw)
+                hw = _v_axpy(-betas[-1], cache[-2], hw)
+            beta = _v_norm(hw)
             T = _tridiag(alphas, betas)
             expT = _expm_tridiag(T, delta)
             coeff = expT[:, 0]
@@ -195,19 +230,19 @@ class LanczosEvolution(LanczosGroundState):
                 result_coeff = coeff
                 break
             betas.append(float(beta))
-            w = hw / beta
+            w = _v_scale(hw, 1. / beta)
             cache.append(w)
             vecs.append(w)
         N = len(result_coeff)
-        result = result_coeff[0] * vecs[0]
+        result = _v_scale(vecs[0], result_coeff[0])
         for k in range(1, N):
-            result = result + result_coeff[k] * vecs[k]
+            result = _v_axpy(result_coeff[k], vecs[k], result)
         if normalize is None:
             normalize = np.real(delta) == 0.
         if normalize:
-            result = result / npc.norm(result)
+            result = _v_scale(result, 1. / _v_norm(result))
         else:
-            result = result * norm0  # undo initial normalization
+            result = _v_scale(result, norm0)  # undo initial normalization
         return result, N
 
 
@@ -243,16 +278,16 @@ class Arnoldi(KrylovBased):
     def run(self):
         from ..tools.misc import argsort
         psi = self.psi0
-        norm0 = npc.norm(psi)
-        vecs = [psi / norm0]
+        norm0 = _v_norm(psi)
+        vecs = [_v_scale(psi, 1. / norm0)]
         h = np.zeros((self.N_max + 1, self.N_max), dtype=complex)
         E_prev = None
         for k in range(self.N_max):
             w = self.H.matvec(vecs[-1])
             for j, v in enumerate(vecs):
-                h[j, k] = complex(npc.inner(v.conj(), w, axes='range'))
-                w = w - h[j, k] * v
-            beta = npc.norm(w)
+                h[j, k] = _v_inner(v, w)
+                w = _v_axpy(-h[j, k], v, w)
+            beta = _v_norm(w)
             h[k + 1, k] = beta
             H_k = h[:k + 1, :k + 1]
             evals, evecs = np.linalg.eig(H_k)
@@ -273,17 +308,17 @@ class Arnoldi(KrylovBased):
                 num = min(self.num_ev, k + 1)
                 psis = []
                 for n in range(num):
-                    res = evecs[0, n] * vecs[0]
+                    res = _v_scale(vecs[0], evecs[0, n])
                     for j in range(1, k + 1):
-                        res = res + evecs[j, n] * vecs[j]
-                    nrm = npc.norm(res)
+                        res = _v_axpy(evecs[j, n], vecs[j], res)
+                    nrm = _v_norm(res)
                     if nrm > 0:
-                        res = res / nrm
+                        res = _v_scale(res, 1. / nrm)
                     psis.append(res)
                 if self.num_ev == 1:
                     return evals[0], psis[0], k + 1
                 return evals[:num], psis, k + 1
-            vecs.append(w / beta)
+            vecs.append(_v_scale(w, 1. / beta))
         raise RuntimeError("unreachable")
 
 
@@ -293,16 +328,16 @@ class ArnoldiEvolution(Arnoldi):
     def run(self, delta, normalize=None):
         import scipy.linalg
         psi = self.psi0
-        norm0 = npc.norm(psi)
-        vecs = [psi / norm0]
+        norm0 = _v_norm(psi)
+        vecs = [_v_scale(psi, 1. / norm0)]
         h = np.zeros((self.N_max + 1, self.N_max), dtype=complex)
         coeff = None
         for k in range(self.N_max):
             w = self.H.matvec(vecs[-1])
             for j, v in enumerate(vecs):
-                h[j, k] = complex(npc.inner(v.conj(), w, axes='range'))
-                w = w - h[j, k] * v
-            beta = npc.norm(w)
+                h[j, k] = _v_inner(v, w)
+                w = _v_axpy(-h[j, k], v, w)
+            beta = _v_norm(w)
             h[k + 1, k] = beta
             H_k = h[:k + 1, :k + 1]
             expH = scipy.linalg.expm(delta * H_k)
@@ -311,16 +346,16 @@ class ArnoldiEvolution(Arnoldi):
                     (k + 1 >= self.N_min and abs(coeff[-1]) ** 2 < self.P_tol) or \
                     k + 1 == self.N_max:
                 break
-            vecs.append(w / beta)
-        result = coeff[0] * vecs[0]
+            vecs.append(_v_scale(w, 1. / beta))
+        result = _v_scale(vecs[0], coeff[0])
         for j in range(1, len(coeff)):
-            result = result + coeff[j] * vecs[j]
+            result = _v_axpy(coeff[j], vecs[j], result)
         if normalize is None:
             normalize = np.real(delta) == 0.
         if normalize:
-            result = result / npc.norm(result)
+            result = _v_scale(result, 1. / _v_norm(result))
         else:
-            result = result * norm0
+            result = _v_scale(result, norm0)
         return result, len(coeff)
 
 
@@ -343,9 +378,9 @@ class GMRES(KrylovBased):
 
     def run(self):
         x = self.psi0
-        norm_b = npc.norm(self.b)
+        norm_b = _v_norm(self.b)
         if norm_b < 1e-300:
-            return self.b * 0., 0.
+            return _v_scale(self.b, 0.), 0.
         total_iters = 0
         for _restart in range(self.restart):
             x, res = self._cycle(x, norm_b)
@@ -356,20 +391,20 @@ class GMRES(KrylovBased):
 
     def _cycle(self, x0, norm_b):
         import scipy.linalg
-        r = self.b - self.H.matvec(x0)
-        beta = npc.norm(r)
+        r = _v_axpy(-1., self.H.matvec(x0), self.b)
+        beta = _v_norm(r)
         if beta / norm_b < self.res_tol:
             return x0, beta / norm_b
         m = self.N_max
-        vecs = [r / beta]
+        vecs = [_v_scale(r, 1. / beta)]
         h = np.zeros((m + 1, m), dtype=complex)
         k_used = 0
         for k in range(m):
             w = self.H.matvec(vecs[-1])
             for j, v in enumerate(vecs):
-                h[j, k] = complex(npc.inner(v.conj(), w, axes='range'))
-                w = w - h[j, k] * v
-            hk = npc.norm(w)
+                h[j, k] = _v_inner(v, w)
+                w = _v_axpy(-h[j, k], v, w)
+            hk = _v_norm(w)
             h[k + 1, k] = hk
             k_used = k + 1
             # solve least squares ||beta e1 - H_bar y||
@@ -379,10 +414,10 @@ class GMRES(KrylovBased):
             res = np.linalg.norm(e1 - h[:k_used + 1, :k_used] @ y) / norm_b
             if hk < self._cutoff or res < self.res_tol:
                 break
-            vecs.append(w / hk)
+            vecs.append(_v_scale(w, 1. / hk))
         x = x0
         for j in range(k_used):
-            x = x + y[j] * vecs[j]
+            x = _v_axpy(y[j], vecs[j], x)
         return x, res
 
 

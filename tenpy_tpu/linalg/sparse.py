@@ -66,7 +66,9 @@ class SumNpcLinearOperator(NpcLinearOperatorWrapper):
         self.other_operator = other_operator
 
     def matvec(self, vec):
-        return self.orig_operator.matvec(vec) + self.other_operator.matvec(vec)
+        from .krylov_based import _v_axpy
+        return _v_axpy(1., self.other_operator.matvec(vec),
+                       self.orig_operator.matvec(vec))
 
     def to_matrix(self):
         return self.orig_operator.to_matrix() + self.other_operator.to_matrix()
@@ -87,7 +89,8 @@ class ShiftNpcLinearOperator(NpcLinearOperatorWrapper):
         self.shift = shift
 
     def matvec(self, vec):
-        return self.orig_operator.matvec(vec) + self.shift * vec
+        from .krylov_based import _v_axpy
+        return _v_axpy(self.shift, vec, self.orig_operator.matvec(vec))
 
     def to_matrix(self):
         mat = self.orig_operator.to_matrix()
@@ -107,9 +110,10 @@ class BoostNpcLinearOperator(NpcLinearOperatorWrapper):
         self.ortho_vecs = list(ortho_vecs)
 
     def matvec(self, vec):
+        from .krylov_based import _v_axpy, _v_inner
         res = self.orig_operator.matvec(vec)
         for E, o in zip(self.penalties, self.ortho_vecs):
-            res = res + (E * npc.inner(o.conj(), vec, axes='range')) * o
+            res = _v_axpy(E * _v_inner(o, vec), o, res)
         return res
 
     def to_matrix(self):
@@ -134,12 +138,14 @@ class OrthogonalNpcLinearOperator(BoostNpcLinearOperator):
         BoostNpcLinearOperator.__init__(self, orig_operator, [], ortho_vecs)
 
     def _project(self, vec):
+        from .krylov_based import _v_axpy, _v_inner
         for o in self.ortho_vecs:
-            vec = vec - npc.inner(o.conj(), vec, axes='range') * o
+            vec = _v_axpy(-_v_inner(o, vec), o, vec)
         return vec
 
     def matvec(self, vec):
-        vec = self._project(vec.copy(deep=False))
+        from .krylov_based import _v_copy
+        vec = self._project(_v_copy(vec))
         vec = self.orig_operator.matvec(vec)
         return self._project(vec)
 

@@ -1,0 +1,54 @@
+"""Plane-wave excitations vs the exact TFI single-particle dispersion."""
+import numpy as np
+
+from tenpy_tpu.models.tf_ising import TFIChain
+from tenpy_tpu.networks.mps import MPS
+from tenpy_tpu.algorithms import dmrg
+from tenpy_tpu.algorithms.vumps import SingleSiteVUMPSEngine
+from tenpy_tpu.algorithms.plane_wave_excitation import (
+    PlaneWaveExcitationEngine, construct_orthogonal)
+from tenpy_tpu.linalg import np_conserved as npc
+
+
+def test_construct_orthogonal():
+    site_dim_test = TFIChain({'L': 2, 'g': 1.5, 'bc_MPS': 'infinite',
+                              'conserve': None})
+    psi = MPS.from_product_state(site_dim_test.lat.mps_sites(), ['up', 'up'],
+                                 bc='infinite')
+    dmrg.run(psi, site_dim_test, {'trunc_params': {'chi_max': 8,
+                                                   'svd_min': 1e-10},
+                                  'max_sweeps': 8, 'mixer': True})
+    AL = psi.get_B(0, 'A')
+    VL = construct_orthogonal(AL)
+    # VL^dag AL = 0 and VL^dag VL = 1
+    ov = npc.tensordot(VL.conj(), AL, axes=[['vL*', 'p*'], ['vL', 'p']])
+    assert float(npc.norm(ov)) < 1e-10
+    idty = npc.tensordot(VL.conj(), VL, axes=[['vL*', 'p*'], ['vL', 'p']])
+    assert float(npc.norm(idty - npc.eye_like(idty, 0))) < 1e-10
+
+
+def test_tfi_dispersion():
+    """Excitation energies match eps(k) = 2 sqrt(1 + g^2 - 2 g cos k), folded
+    into the 2-site Brillouin zone."""
+    g = 1.5
+    m = TFIChain({'L': 2, 'J': 1., 'g': g, 'bc_MPS': 'infinite',
+                  'conserve': None})
+    psi = MPS.from_product_state(m.lat.mps_sites(), ['up', 'up'], bc='infinite')
+    dmrg.run(psi, m, {'trunc_params': {'chi_max': 12, 'svd_min': 1e-10},
+                      'max_sweeps': 10, 'mixer': True})
+    eng_v = SingleSiteVUMPSEngine(psi, m, {
+        'max_sweeps': 30, 'max_E_err': 1e-13, 'max_split_err': 1e-9,
+        'check_overlap': False})
+    E0, _ = eng_v.run()
+    pwe = PlaneWaveExcitationEngine(eng_v.psi, m,
+                                    {'lanczos_params': {'N_max': 40}})
+
+    def eps_exact(k):
+        return 2 * np.sqrt(1 + g ** 2 - 2 * g * np.cos(k))
+
+    for k in [0., np.pi / 2]:
+        Es, psis, N = pwe.run(k)
+        # 2-site unit cell folds k and k+pi
+        expect = min(eps_exact(k), eps_exact(k + np.pi))
+        assert abs(float(np.real(Es[0])) - expect) < 1e-8, (k, Es[0], expect)
+        assert psis[0].L == 2
