@@ -232,6 +232,8 @@ class DMRGEngine(IterativeSweeps):
         else:
             method = self.diag_method
         if method == 'lanczos':
+            if self._use_device_lanczos():
+                return self._diag_device_lanczos(theta_guess)
             solver = LanczosGroundState(self.eff_H, theta_guess, self.lanczos_params)
             E0, theta, N = solver.run()
             ov_change = 1. - abs(complex(npc.inner(theta_guess.conj(), theta,
@@ -245,6 +247,78 @@ class DMRGEngine(IterativeSweeps):
         else:
             raise ValueError(f"unknown diag_method {method!r}")
         return E0, theta, N, ov_change
+
+
+    # ------------------------------------------------------------ device Lanczos
+    def _use_device_lanczos(self):
+        """Whether to fuse the local eigensolve into one jitted device call.
+
+        On an accelerator backend every eager op pays dispatch latency, so for
+        large effective problems the K-step Lanczos runs as a single XLA
+        program over size-bucketed padded blocks (see
+        :func:`~tenpy_tpu.algorithms.mps_common.lanczos_K_2site`).
+        ``lanczos_params['device_K']``: 0 disables, >0 forces with that K.
+        """
+        from .mps_common import TwoSiteH, DEVICE_LANCZOS_THRESHOLD
+        if self.ortho_to_envs:
+            return False
+        eff = self.eff_H
+        if type(eff) is not TwoSiteH or eff.combine:
+            return False
+        device_K = self.lanczos_params.silent_get('device_K', None) \
+            if hasattr(self.lanczos_params, 'silent_get') \
+            else self.lanczos_params.get('device_K', None)
+        if device_K == 0:
+            return False
+        if device_K is not None:
+            return True
+        import jax
+        from .mps_common import MAX_JIT_BLOCKS
+        if jax.default_backend() == 'cpu':
+            return False
+        if eff.N < DEVICE_LANCZOS_THRESHOLD:
+            return False
+        # during the chi ramp every sweep has a new block structure: each one
+        # would pay a full XLA compile; engage only once chi_max is final
+        if self.chi_list is not None:
+            ramp_end = max(self.chi_list.keys())
+            if self.sweeps < ramp_end + 1:
+                return False
+        # tracing a K-step scan over thousands of blocks would take minutes
+        n_blocks = eff.LP.stored_blocks + eff.RP.stored_blocks
+        return n_blocks <= 2 * MAX_JIT_BLOCKS
+
+    def _diag_device_lanczos(self, theta_guess):
+        """Fused K-step Lanczos on padded blocks; one device round trip."""
+        import jax
+        from ..linalg.padding import pad_leg, pad_array, unpad_array
+        from .mps_common import lanczos_K_2site
+        eff = self.eff_H
+        K = self.lanczos_params.get('device_K', None)
+        if not K:
+            K = self.lanczos_params.get('N_max', 10, int)
+        K = int(K)
+        if not hasattr(eff, '_device_padded'):
+            LPp = pad_array(eff.LP, {
+                'vR': pad_leg(eff.LP.get_leg('vR'))[0],
+                'vR*': pad_leg(eff.LP.get_leg('vR*'))[0]})
+            RPp = pad_array(eff.RP, {
+                'vL': pad_leg(eff.RP.get_leg('vL'))[0],
+                'vL*': pad_leg(eff.RP.get_leg('vL*'))[0]})
+            eff._device_padded = (LPp, RPp)
+        LPp, RPp = eff._device_padded
+        legL = theta_guess.get_leg('vL')
+        legR = theta_guess.get_leg('vR')
+        theta_p = pad_array(theta_guess, {'vL': pad_leg(legL)[0],
+                                          'vR': pad_leg(legR)[0]})
+        E0, th = lanczos_K_2site(LPp, RPp, eff.W0, eff.W1, theta_p, K)
+        th = jax.device_get(th)
+        E0 = float(jax.device_get(E0))
+        theta = unpad_array(th, {'vL': legL, 'vR': legR})
+        ov_change = 1. - abs(complex(npc.inner(theta_guess.conj(), theta,
+                                               axes='range'))) \
+            / max(float(npc.norm(theta_guess)), 1e-300)
+        return E0, theta, K, ov_change
 
     def prepare_svd(self, theta):
         raise NotImplementedError

@@ -15,6 +15,7 @@ bond-dimension pattern reuses compiled kernels (the analogue of the reference's 
 from __future__ import annotations
 
 import logging
+import os
 import time
 import warnings
 from functools import partial
@@ -42,7 +43,21 @@ __all__ = ['Sweep', 'IterativeSweeps', 'EffectiveH', 'OneSiteH', 'TwoSiteH',
 # Small effective problems (warm-up sweeps with growing chi) run eagerly: each new
 # block structure would trigger a fresh XLA compilation that is never amortized.
 # Large problems (production chi) reuse one compiled executable per structure.
-JIT_SIZE_THRESHOLD = 1 << 14
+# Whole-graph jit of a single matvec only pays off in fixed-structure loops
+# (benchmarks); in real sweeps the per-structure compile cost dominates, so it
+# is disabled by default -- the fused device Lanczos kernel (DMRG) is the
+# production accelerator path.  Override with TENPY_TPU_JIT_N.
+JIT_SIZE_THRESHOLD = int(os.environ.get('TENPY_TPU_JIT_N', str(1 << 62)))
+# Whole-graph jit is only viable when the charge-block structure is modest:
+# tracing/compiling a matvec over thousands of tiny blocks (e.g. Hubbard with
+# U(1)xU(1) charges) takes minutes regardless of backend.  Above this stored-
+# block count the host per-block GEMM path is used instead.
+MAX_JIT_BLOCKS = int(os.environ.get('TENPY_TPU_MAX_JIT_BLOCKS', '256'))
+# The fused device Lanczos kernel (one jit per site update) only pays off for
+# production-size problems where MXU GEMM time dominates the per-structure
+# compile cost; below this, the host numpy path wins.
+DEVICE_LANCZOS_THRESHOLD = int(os.environ.get('TENPY_TPU_DEVICE_LANCZOS_N',
+                                              str(1 << 20)))
 
 
 def _matvec_2site_plain_impl(LP, RP, W0, W1, theta):
@@ -53,6 +68,108 @@ def _matvec_2site_plain_impl(LP, RP, W0, W1, theta):
     x = npc.tensordot(x, RP, axes=[['wR', 'vR'], ['wL', 'vL']])
     x.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
     return x.itranspose(['vL', 'p0', 'p1', 'vR'])
+
+
+
+
+def _full_qdata(a):
+    """All charge-allowed qdata rows for a's legs and qtotal (lexsorted)."""
+    import itertools
+    legs = a.legs
+    chinfo = a.chinfo
+    rows = []
+    for row in itertools.product(*[range(l.block_number) for l in legs]):
+        q = chinfo.make_valid(
+            sum(np.asarray(l.charges[r], np.int64) * l.qconj
+                for l, r in zip(legs, row)))
+        if tuple(q) == tuple(a.qtotal):
+            rows.append(row)
+    rows.sort()
+    return np.array(rows, dtype=np.int64).reshape(len(rows), len(legs))
+
+
+def _expand_blocks(a, qdata_full):
+    """Array with the given (superset) qdata; missing blocks are zeros.
+
+    Keeps the scan carry of the fused Lanczos kernel structure-stable: the
+    matvec can only populate charge-allowed blocks, all of which are present."""
+    have = {tuple(int(x) for x in row): i for i, row in enumerate(a._qdata)}
+    use_jnp = npc._use_jnp(*a._data) if a._data else True
+    xp = jnp if use_jnp else np
+    blocks = []
+    for row in qdata_full:
+        key = tuple(int(x) for x in row)
+        if key in have:
+            blocks.append(a._data[have[key]])
+        else:
+            shape = tuple(int(l.slices[r + 1] - l.slices[r])
+                          for l, r in zip(a.legs, row))
+            blocks.append(xp.zeros(shape, a.dtype))
+    res = npc.Array(list(a.legs), a.dtype, a.qtotal, list(a.get_leg_labels()))
+    res._set_blocks(np.array(qdata_full, dtype=np.int64), blocks)
+    return res
+
+
+def _lanczos_K_2site_impl(LP, RP, W0, W1, theta0, K):
+    """K fixed Lanczos steps + Ritz ground state as ONE traced program.
+
+    On TPU every eager op pays device-dispatch latency and every new block
+    structure pays a full XLA compile; fusing the whole local eigensolve into a
+    single jitted call (lax.scan over the Krylov iteration) makes a DMRG site
+    update one device round trip.  Use with size-bucketed padded legs
+    (:mod:`~tenpy_tpu.linalg.padding`) so consecutive updates share the
+    compile-cache entry.
+
+    Returns ``(E0, theta_gs)`` with theta normalized.
+    """
+    import jax
+    from jax import lax
+
+    qdata_full = _full_qdata(theta0)
+    theta0 = _expand_blocks(theta0, qdata_full)
+    nrm0 = npc.norm(theta0)
+    v0 = theta0 * (1. / nrm0)
+
+    def matvec(v):
+        return _matvec_2site_plain_impl(LP, RP, W0, W1, v)
+
+    def body(carry, _):
+        v_prev, v, beta_prev = carry
+        hw = _expand_blocks(matvec(v), qdata_full)
+        alpha = jnp.real(npc.inner(v.conj(), hw, axes='range'))
+        hw = hw - alpha * v
+        hw = hw - beta_prev * v_prev
+        beta = npc.norm(hw)
+        ok = beta > 1e-14
+        inv = jnp.where(ok, 1. / jnp.where(ok, beta, 1.), 0.)
+        v_next = hw * inv   # zero vector once the Krylov space is exhausted
+        return (v, v_next, jnp.where(ok, beta, 0.)), (v, alpha, beta)
+
+    real_dtype = jnp.zeros((), theta0.dtype).real.dtype
+    zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
+    (_, _, _), (vs, alphas, betas) = lax.scan(
+        body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
+    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    c = evecs[:, 0]
+    theta_gs = jax.tree_util.tree_map(
+        lambda stacked: jnp.tensordot(c.astype(stacked.dtype), stacked,
+                                      axes=[[0], [0]]), vs)
+    nrm = npc.norm(theta_gs)
+    theta_gs = theta_gs * (1. / nrm)
+    return evals[0], theta_gs
+
+
+_lanczos_K_2site_jit = None
+
+
+def lanczos_K_2site(LP, RP, W0, W1, theta0, K):
+    """Jitted wrapper of :func:`_lanczos_K_2site_impl` (K static)."""
+    global _lanczos_K_2site_jit
+    import jax
+    if _lanczos_K_2site_jit is None:
+        _lanczos_K_2site_jit = jax.jit(_lanczos_K_2site_impl, static_argnums=5)
+    return _lanczos_K_2site_jit(LP, RP, W0, W1, theta0, K)
 
 
 def _matvec_2site_combined_impl(LHeff, RHeff, theta):
@@ -166,7 +283,8 @@ class TwoSiteH(EffectiveH):
         self.pipeR = self.RHeff.get_leg('(p1.vL*)')
 
     def matvec(self, theta):
-        big = self.N >= JIT_SIZE_THRESHOLD
+        big = self.N >= JIT_SIZE_THRESHOLD and \
+            theta.stored_blocks <= MAX_JIT_BLOCKS
         if self.combine:
             return _matvec_2site_combined(self.LHeff, self.RHeff, theta, big)
         return _matvec_2site_plain(self.LP, self.RP, self.W0, self.W1, theta, big)
@@ -251,7 +369,8 @@ class OneSiteH(EffectiveH):
     def matvec(self, theta):
         if not self.combine:
             return _matvec_1site_plain(self.LP, self.RP, self.W0, theta,
-                                       self.N >= JIT_SIZE_THRESHOLD)
+                                       self.N >= JIT_SIZE_THRESHOLD
+                                       and theta.stored_blocks <= MAX_JIT_BLOCKS)
         if self.move_right:
             x = npc.tensordot(self.LHeff, theta, axes=[['(vR.p0*)'], ['(vL.p0)']])
             x = npc.tensordot(x, self.RP, axes=[['wR', 'vR'], ['wL', 'vL']])
@@ -314,7 +433,8 @@ class ZeroSiteH(EffectiveH):
 
     def matvec(self, theta):
         return _matvec_0site(self.LP, self.RP, theta,
-                             self.N >= JIT_SIZE_THRESHOLD)
+                             self.N >= JIT_SIZE_THRESHOLD
+                             and theta.stored_blocks <= MAX_JIT_BLOCKS)
 
     def to_matrix(self):
         mat = npc.tensordot(self.LP, self.RP, axes=[['wR'], ['wL']])
@@ -635,6 +755,11 @@ class Sweep(Algorithm):
         """One sweep left->right->left; returns max truncation error.
 
         Reference: ``mps_common.py:345``."""
+        if optimize and self.chi_list is not None:
+            new_chi = self.chi_list.get(self.sweeps, None)
+            if new_chi is not None:
+                self.trunc_params['chi_max'] = new_chi
+                logger.info("sweep %d: setting chi_max=%d", self.sweeps, new_chi)
         self.trunc_err_list = []
         schedule = self.get_sweep_schedule()
         for i0, move_right, update_LP_RP in schedule:
@@ -649,11 +774,6 @@ class Sweep(Algorithm):
             self.free_no_longer_needed_envs()
         if optimize:
             self.sweeps += 1
-            if self.chi_list is not None:
-                new_chi = self.chi_list.get(self.sweeps, None)
-                if new_chi is not None:
-                    self.trunc_params['chi_max'] = new_chi
-                    logger.info("sweep %d: setting chi_max=%d", self.sweeps, new_chi)
             self.mixer_cleanup_after_sweep()
         return np.max(self.trunc_err_list) if self.trunc_err_list else 0.
 

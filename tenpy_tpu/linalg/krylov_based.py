@@ -150,7 +150,16 @@ class LanczosGroundState(KrylovBased):
             E_prev = E
             if converged or k + 1 == N_max:
                 N = k + 1
-                psi_out = self._build_vector(evecs[:, 0], N)
+                if len(cache) >= N:  # all basis vectors cached: single pass
+                    coeff = evecs[:, 0]
+                    psi_out = _v_scale(cache[0], coeff[0])
+                    for j in range(1, N):
+                        psi_out = _v_axpy(coeff[j], cache[j], psi_out)
+                    n_out = _v_norm(psi_out)
+                    if n_out > 0:
+                        psi_out = _v_scale(psi_out, 1. / n_out)
+                else:  # cache too small: re-run the iteration (second pass)
+                    psi_out = self._build_vector(evecs[:, 0], N)
                 E_out = float(E - (self.E_shift or 0.))
                 return E_out, psi_out, N
             betas.append(float(beta))

@@ -1034,9 +1034,11 @@ class _Plan:
     charge-sector contributions into one output block uses a segment-sum.
     """
 
-    __slots__ = ('out_rows', 'out_shapes', 'groups', 'n_out')
+    __slots__ = ('out_rows', 'out_shapes', 'groups', 'n_out',
+                 '_host_tasks')
 
     def __init__(self, out_rows, out_shapes, groups):
+        self._host_tasks = None
         self.out_rows = out_rows          # (n_out, rank) np array
         self.out_shapes = out_shapes      # list of output block shapes
         self.groups = groups              # list of (mkn, a_idx[], b_idx[], out_idx[])
@@ -1181,7 +1183,32 @@ def _execute_plan(plan, a_data, b_data, dtype, n_axes, ka, ra, rb):
     host path it runs the same batches through numpy BLAS (no XLA dispatch).
     """
     use_jax = _use_jnp(*a_data, *b_data)
-    xp = jnp if use_jax else np
+    if not use_jax:
+        # Host path: direct per-block BLAS GEMMs accumulated into the outputs.
+        # Stacking into batches only pays off under XLA; on the host it would
+        # copy every operand (np.stack) and sort every group (np.unique).
+        tasks = plan._host_tasks
+        if tasks is None:
+            tasks = []
+            for (m, k, n), a_idx, b_idx, o_idx in plan.groups:
+                for i, j, oi in zip(a_idx, b_idx, o_idx):
+                    tasks.append((int(i), int(j), int(oi), m, k, n))
+            plan._host_tasks = tasks
+        partial = [None] * plan.n_out
+        for i, j, oi, m, k, n in tasks:
+            am = a_data[i].reshape(m, k)
+            bm = b_data[j].reshape(k, n)
+            if am.dtype != dtype:
+                am = am.astype(dtype)
+            if bm.dtype != dtype:
+                bm = bm.astype(dtype)
+            if partial[oi] is None:
+                partial[oi] = np.matmul(am, bm)
+            else:
+                partial[oi] += np.matmul(am, bm)
+        return [partial[oi].reshape(plan.out_shapes[oi])
+                for oi in range(plan.n_out)]
+    xp = jnp
     partial = [None] * plan.n_out
     for (m, k, n), a_idx, b_idx, o_idx in plan.groups:
         if len(a_idx) == 1:
@@ -1601,6 +1628,11 @@ def norm(a, ord=None, convert_to_float=True):
     """Norm of an Array (default: Frobenius). Reference: ``np_conserved.py:3852``."""
     if isinstance(a, Array):
         if ord is None or ord == 'fro' or ord == 2:
+            if _use_jnp(*a._data):  # device blocks / tracers: stay traceable
+                s = jnp.zeros((), jnp.zeros((), a.dtype).real.dtype)
+                for b in a._data:
+                    s = s + jnp.sum(jnp.abs(b) ** 2)
+                return jnp.sqrt(s)
             s = sum(float((abs(b) ** 2).sum()) for b in a._data)
             return float(np.sqrt(s))
         elif ord == np.inf:

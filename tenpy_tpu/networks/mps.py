@@ -208,6 +208,18 @@ class MPS:
             idx_max = int(np.argmax(np.abs(vec)))
             qi, _ = site.leg.get_qindex(idx_max)
             q_p = site.leg.charges[qi] * site.leg.qconj
+            if bc == 'infinite':
+                # keep the virtual legs CONSTANT (charge chargeL) and put the
+                # site's charge into qtotal -- required for unit cells with
+                # nonzero total charge (e.g. Hubbard at half filling), where
+                # accumulating leg charges would break the wrap-around bond
+                B = npc.Array.from_ndarray(
+                    np.asarray(vec).reshape(1, site.dim, 1),
+                    [legL, site.leg, legL.conj()],
+                    labels=['vL', 'p', 'vR'], dtype=dtype,
+                    qtotal=q_p, warn_wrong_sector=True)
+                Bs.append(B)
+                continue
             qR = chinfo.make_valid(qL + q_p)
             legR = LegCharge.from_qflat(chinfo, [qR], qconj=-1)
             B = npc.Array.from_ndarray(np.asarray(vec).reshape(1, site.dim, 1),
@@ -869,6 +881,26 @@ class MPS:
         L = self.L
         p_label = list(getattr(self, '_p_label', ['p']))
         Ms = self._stripped_tensors(pinv_cutoff=1e-8)
+        if all(f is not None for f in self.form):
+            # Sanity of the B-chain: Schmidt directions at the numerical noise
+            # floor make the stored tensors' junk rows garbage, which the pure
+            # gauge iteration would faithfully canonicalize into a WRONG state.
+            # Rescue via one theta-level compression sweep (thetas are built
+            # S-weighted from the stored data and remain well-conditioned),
+            # dropping the junk before gauging.
+            iso_err = 0.
+            for M in Ms:
+                c = npc.tensordot(M, M.conj(),
+                                  axes=[p_label + ['vR'],
+                                        [l + '*' for l in p_label] + ['vR*']])
+                iso_err = max(iso_err, float(npc.norm(c - npc.eye_like(c, 0))))
+            if iso_err > 1e-3:
+                logger.warning("canonical_form_infinite: inconsistent B-chain "
+                               "(err=%.2e); compressing away noise-floor "
+                               "Schmidt directions first", iso_err)
+                self.compress_svd({'chi_max': max(self.chi),
+                                   'svd_min': 3e-8, 'trunc_cut': None})
+                Ms = self._stripped_tensors(pinv_cutoff=1e-8)
         if any(f is None for f in self.form):
             self._S[0] = np.ones(Ms[0].get_leg('vL').ind_len)
         # 1) right-orthogonalize:  M_i R_{i+1} = R_i B_i  with right-isometric B
@@ -1796,8 +1828,12 @@ def _cf_orthogonalize(Ms, X, tol, p_label, left, arnoldi_params=None,
             for i in range(L - 1, -1, -1):
                 MX = npc.tensordot(Ms[i], X, axes=[['vR'], ['vL']])
                 MX = MX.combine_legs([p_label + ['vR']], qconj=[-1])
+                # keep the carry X charge-neutral: Q absorbs the site's charge,
+                # else X's qtotal grows by the unit-cell charge every sweep and
+                # the iteration never reaches a fixed structure (e.g. Hubbard
+                # at half filling has a charged unit cell)
                 X, Q = npc.lq(MX, inner_labels=['vR', 'vL'], pos_diag_L=True,
-                              qtotal_L=MX.qtotal)
+                              qtotal_L=MX.chinfo.make_valid())
                 Qs[i] = Q.split_legs([1])
         norm = npc.norm(X)
         X = X / norm

@@ -1,8 +1,13 @@
 """Config-driven simulations: drivers, measurements, post-processing (SURVEY §2.5)."""
-from . import simulation, measurement, post_processing
+from . import simulation, measurement, post_processing, time_evolution
 from .simulation import (Simulation, GroundStateSearch, RealTimeEvolution,
                          run_simulation, resume_from_checkpoint, run_seq_simulations)
+from .time_evolution import (TimeDependentCorrelation,
+                             TimeDependentCorrelationEvolveBraKet,
+                             SpectralSimulation, SpectralSimulationEvolveBraKet)
 
-__all__ = ['simulation', 'measurement', 'post_processing', 'Simulation',
-           'GroundStateSearch', 'RealTimeEvolution', 'run_simulation',
-           'resume_from_checkpoint', 'run_seq_simulations']
+__all__ = ['simulation', 'measurement', 'post_processing', 'time_evolution',
+           'Simulation', 'GroundStateSearch', 'RealTimeEvolution',
+           'TimeDependentCorrelation', 'TimeDependentCorrelationEvolveBraKet',
+           'SpectralSimulation', 'SpectralSimulationEvolveBraKet',
+           'run_simulation', 'resume_from_checkpoint', 'run_seq_simulations']

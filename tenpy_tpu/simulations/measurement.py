@@ -77,8 +77,12 @@ def psi_method(results, psi, model, simulation, method, key=None, **kwargs):
 
 
 def simulation_method(results, psi, model, simulation, method, key=None, **kwargs):
+    func = getattr(simulation, method)
+    if method.startswith('m_'):
+        # measurement-style method: writes its own keys into `results`
+        return func(results, psi, model, simulation, **kwargs)
     key = key or method
-    results[key] = getattr(simulation, method)(**kwargs)
+    results[key] = func(**kwargs)
 
 
 # short aliases matching reference naming (m_* is the canonical form)

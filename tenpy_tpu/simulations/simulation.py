@@ -51,6 +51,8 @@ class Simulation:
     """
 
     default_algorithm = 'TwoSiteDMRGEngine'
+    default_post_processing = []
+
     default_measurements = [
         ('tenpy_tpu.simulations.measurement', 'm_measurement_index'),
         ('tenpy_tpu.simulations.measurement', 'm_bond_dimension'),
@@ -118,6 +120,7 @@ class Simulation:
         self.init_measurements()
         self.run_algorithm()
         self.final_measurements()
+        self.run_post_processing()
         self.results['finished_run'] = True
         results = self.prepare_results_for_save()
         self.save_results(results)
@@ -224,6 +227,35 @@ class Simulation:
 
     def final_measurements(self):
         self.make_measurements()
+
+    def run_post_processing(self):
+        """Run the entries of ``default_post_processing`` + option
+        ``post_processing``: tuples ``(module, func_name, kwargs)`` called with a
+        DataLoader over the in-memory results.  Results are stored under
+        ``kwargs['results_key']`` (or the function name).
+        Reference: ``simulation.py`` run_post_processing."""
+        entries = list(getattr(self, 'default_post_processing', []))
+        extra = self.options.get('post_processing', None)
+        if extra:
+            entries.extend(tuple(e) for e in extra)
+        if not entries:
+            return
+        from .post_processing import DataLoader
+        loader = DataLoader(data=self.results)
+        pp_results = self.results.setdefault('post_processing', {})
+        for entry in entries:
+            module_name, func_name = entry[0], entry[1]
+            kwargs = dict(entry[2]) if len(entry) > 2 else {}
+            module_name = module_name.replace('tenpy.simulations',
+                                              'tenpy_tpu.simulations')
+            mod = importlib.import_module(module_name)
+            func = getattr(mod, func_name)
+            key = kwargs.pop('results_key', func_name)
+            try:
+                pp_results[key] = func(loader, **kwargs)
+            except Exception as e:  # noqa: BLE001 - contained like measurements
+                logger.exception("post-processing %s failed", func_name)
+                self.results.setdefault('errors_during_run', []).append(repr(e))
 
     # ---------------------------------------------------------------- saving
     def get_version_info(self):
@@ -381,7 +413,11 @@ def run_simulation(simulation_class='GroundStateSearch', **simulation_params):
     """Run a simulation from parameters. Reference: ``simulation.py:1300``."""
     SimClass = find_subclass(Simulation, simulation_class) \
         if isinstance(simulation_class, str) else simulation_class
-    sim = SimClass(simulation_params)
+    kwargs = {}
+    # heavy non-serializable inputs are constructor kwargs, not options
+    if 'ground_state_data' in simulation_params:
+        kwargs['ground_state_data'] = simulation_params.pop('ground_state_data')
+    sim = SimClass(simulation_params, **kwargs)
     with sim:
         results = sim.run()
     return results
