@@ -23,6 +23,8 @@ users of the reference can switch: ``Array``, ``tensordot``, ``svd``, ``qr``, ``
 
 from __future__ import annotations
 
+import os
+
 import functools
 import itertools
 import warnings
@@ -1176,6 +1178,27 @@ def tensordot(a, b, axes=2):
     return res
 
 
+
+_native_gemm_runner = None
+_native_gemm_tried = False
+
+
+def _native_gemm():
+    """Lazy handle to the C++ batched-GEMM executor (None if unavailable)."""
+    global _native_gemm_runner, _native_gemm_tried
+    if not _native_gemm_tried:
+        _native_gemm_tried = True
+        if os.environ.get('TENPY_TPU_NO_NATIVE', ''):
+            _native_gemm_runner = None
+        else:
+            try:
+                from ..native import get_batched_gemm
+                _native_gemm_runner = get_batched_gemm()
+            except Exception:  # noqa: BLE001 - pure-python fallback
+                _native_gemm_runner = None
+    return _native_gemm_runner
+
+
 def _execute_plan(plan, a_data, b_data, dtype, n_axes, ka, ra, rb):
     """Run the batched GEMM groups of a plan over concrete block data.
 
@@ -1189,13 +1212,44 @@ def _execute_plan(plan, a_data, b_data, dtype, n_axes, ka, ra, rb):
         # copy every operand (np.stack) and sort every group (np.unique).
         tasks = plan._host_tasks
         if tasks is None:
-            tasks = []
+            flat = []
+            betas = []
+            seen = set()
             for (m, k, n), a_idx, b_idx, o_idx in plan.groups:
                 for i, j, oi in zip(a_idx, b_idx, o_idx):
-                    tasks.append((int(i), int(j), int(oi), m, k, n))
+                    oi = int(oi)
+                    flat.append((int(i), int(j), oi, m, k, n))
+                    betas.append(1. if oi in seen else 0.)
+                    seen.add(oi)
+            dims = np.array([(m, k, n) for _, _, _, m, k, n in flat],
+                            dtype=np.int32).reshape(len(flat), 3)
+            tasks = (flat, dims, np.array(betas))
             plan._host_tasks = tasks
+        flat, dims, betas = tasks
+        np_dtype = np.dtype(dtype if not hasattr(dtype, 'type') else
+                            np.dtype(str(dtype)))
+        kind = {'float64': 'd', 'complex128': 'z'}.get(np_dtype.name)
+        run_native = _native_gemm() if kind is not None else None
+        if run_native is not None and len(flat) > 16:
+            a_blocks, b_blocks, c_blocks = [], [], []
+            partial = [None] * plan.n_out
+            for i, j, oi, m, k, n in flat:
+                am = a_data[i]
+                if am.dtype != np_dtype or not am.flags.c_contiguous:
+                    am = np.ascontiguousarray(am, np_dtype)
+                bm = b_data[j]
+                if bm.dtype != np_dtype or not bm.flags.c_contiguous:
+                    bm = np.ascontiguousarray(bm, np_dtype)
+                a_blocks.append(am)
+                b_blocks.append(bm)
+                if partial[oi] is None:
+                    partial[oi] = np.empty((m, n), np_dtype)
+                c_blocks.append(partial[oi])
+            run_native(kind, a_blocks, b_blocks, c_blocks, dims, betas)
+            return [partial[oi].reshape(plan.out_shapes[oi])
+                    for oi in range(plan.n_out)]
         partial = [None] * plan.n_out
-        for i, j, oi, m, k, n in tasks:
+        for i, j, oi, m, k, n in flat:
             am = a_data[i].reshape(m, k)
             bm = b_data[j].reshape(k, n)
             if am.dtype != dtype:
