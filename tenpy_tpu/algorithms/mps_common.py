@@ -840,6 +840,11 @@ class Sweep(Algorithm):
 
     def make_eff_H(self):
         self.eff_H = self.EffectiveH(self.env, self.i0, self.combine, self.move_right)
+        if getattr(self.env.H, 'explicit_plus_hc', False) and \
+                not hasattr(self.eff_H, 'matvec_hc'):
+            raise NotImplementedError(
+                "H has explicit_plus_hc=True: use "
+                "tenpy_tpu.algorithms.dmrg_parallel.DMRGThreadPlusHC")
         if len(self.ortho_to_envs) > 0:
             self._wrap_ortho_eff_H()
 

@@ -264,6 +264,11 @@ class CouplingModel(Model):
         r"""Add ``sum_x strength[x] * opname`` on all sites of unit-cell index u.
 
         Reference: ``tenpy/models/model.py:971``."""
+        if self.explicit_plus_hc:
+            if plus_hc:
+                plus_hc = False  # the MPO adds the h.c. implicitly
+            else:
+                strength = strength / 2.  # h.c. added implicitly: avoid double count
         strength = to_array(strength, self.lat.Ls)
         if not np.any(strength != 0.):
             return
@@ -286,6 +291,11 @@ class CouplingModel(Model):
                     ot.add_onsite_term(np.conj(strength[tuple(lat)]), int(i), opname)
 
     def add_onsite_term(self, strength, i, op, category=None, plus_hc=False):
+        if self.explicit_plus_hc:
+            if plus_hc:
+                plus_hc = False  # the MPO adds the h.c. implicitly
+            else:
+                strength = strength / 2.  # h.c. added implicitly: avoid double count
         category = category or op
         self._get_onsite(category).add_onsite_term(strength, i, op)
         if plus_hc:
@@ -301,6 +311,11 @@ class CouplingModel(Model):
         Jordan-Wigner strings are inserted automatically when both operators are
         fermionic.  Reference: ``tenpy/models/model.py:1064``.
         """
+        if self.explicit_plus_hc:
+            if plus_hc:
+                plus_hc = False  # the MPO adds the h.c. implicitly
+            else:
+                strength = np.asarray(strength) / 2.
         dx = np.asarray(dx, int)
         mps_i, mps_j, lat_idx, coupling_shape = self.lat.possible_couplings(u1, u2, dx)
         strength = to_array(strength, coupling_shape)
@@ -335,6 +350,11 @@ class CouplingModel(Model):
 
     def add_coupling_term(self, strength, i, j, op_i, op_j, op_string='Id',
                           category=None, plus_hc=False):
+        if self.explicit_plus_hc:
+            if plus_hc:
+                plus_hc = False  # the MPO adds the h.c. implicitly
+            else:
+                strength = strength / 2.  # h.c. added implicitly: avoid double count
         category = category or f"{op_i}_i {op_j}_j"
         ct = self._get_coupling(category)
         ct.add_coupling_term(strength, i, j, op_i, op_j, op_string)
@@ -348,6 +368,11 @@ class CouplingModel(Model):
         r"""Add multi-site couplings; ``ops = [(opname, dx, u), ...]``.
 
         Reference: ``tenpy/models/model.py:1302``."""
+        if self.explicit_plus_hc:
+            if plus_hc:
+                plus_hc = False  # the MPO adds the h.c. implicitly
+            else:
+                strength = np.asarray(strength) / 2.
         mps_ijkl, lat_idx, coupling_shape = self.lat.possible_multi_couplings(ops)
         strength = to_array(strength, coupling_shape)
         category = category or 'multi_' + '_'.join(op for op, _, _ in ops)

@@ -1300,8 +1300,59 @@ class MPS:
         return self.chinfo.make_valid(q)
 
     def gauge_total_charge(self, qtotal=None, vL_leg=None, vR_leg=None):
-        """Gauge the total charge of the MPS onto the first/last virtual legs."""
-        raise NotImplementedError("gauge_total_charge: TODO in a later milestone")
+        """Gauge virtual-leg charges so each B has the prescribed qtotal; in place.
+
+        ``qtotal``: single charge row (assigned to the LAST site, zeros
+        elsewhere) or per-site (L, qnumber) array.  ``vL_leg``/``vR_leg``:
+        desired outermost legs (same block structure, shifted charges).
+        Reference: ``tenpy/networks/mps.py:3713``.
+        """
+        from ..linalg.charges import QTYPE
+        if self.chinfo.qnumber == 0:
+            return
+        vL_chdiff = vR_chdiff = None
+        if vL_leg is not None:
+            vL_chdiff = np.asarray(vL_leg.to_qflat()[0], np.int64) * vL_leg.qconj \
+                - np.asarray(self._B[0].get_leg('vL').to_qflat()[0], np.int64) \
+                * self._B[0].get_leg('vL').qconj
+        if vR_leg is not None:
+            vR_chdiff = np.asarray(vR_leg.to_qflat()[0], np.int64) * vR_leg.qconj \
+                - np.asarray(self._B[-1].get_leg('vR').to_qflat()[0], np.int64) \
+                * self._B[-1].get_leg('vR').qconj
+        if qtotal is None and vL_chdiff is not None and vR_chdiff is not None:
+            qtotal = self.get_total_charge() + vL_chdiff + vR_chdiff
+        qtotal = self.chinfo.make_valid(qtotal)
+        if qtotal.ndim == 1:
+            fac = np.array([0] * (self.L - 1) + [1], QTYPE)
+            qtotal = fac[:, None] * qtotal[None, :]
+        if qtotal.shape != (self.L, self.chinfo.qnumber):
+            raise ValueError("wrong shape of qtotal")
+        if vL_leg is not None and np.any(vL_chdiff != 0):
+            B = self._B[0]
+            self._B[0] = B.gauge_total_charge(
+                'vL', self.chinfo.make_valid(np.asarray(B.qtotal) + vL_chdiff),
+                vL_leg.qconj)
+        if vL_leg is not None:
+            self._B[0].get_leg('vL').test_equal(vL_leg)
+        for i in range(self.L):
+            B = self._B[i]
+            desired = self.chinfo.make_valid(qtotal[i])
+            chdiff = self.chinfo.make_valid(np.asarray(B.qtotal) - desired)
+            if np.any(chdiff != 0):
+                self._B[i] = B.gauge_total_charge('vR', desired)
+                if i + 1 != self.L:
+                    nextB = self._B[i + 1]
+                    self._B[i + 1] = nextB.gauge_total_charge(
+                        'vL', self.chinfo.make_valid(
+                            np.asarray(nextB.qtotal) + chdiff))
+                    self._B[i].get_leg('vR').test_contractible(
+                        self._B[i + 1].get_leg('vL'))
+        if vR_leg is not None:
+            self._B[-1].get_leg('vR').test_equal(vR_leg)
+        if self.bc == 'infinite':
+            self._B[0].get_leg('vL').test_contractible(
+                self._B[-1].get_leg('vR'))
+        return self
 
     def extract_segment(self, first, last):
         """Extract a segment-bc MPS covering sites [first, last]."""

@@ -56,8 +56,61 @@ class PurificationMPS(MPS):
         return res
 
     @classmethod
-    def from_density_matrix(cls, rho, sites, bc='finite'):
-        raise NotImplementedError("general rho purification: later round")
+    def from_density_matrix(cls, sites, rho, cutoff=1e-16, normalize=True):
+        r"""Purify a full density matrix: diagonalize ``rho = U D U^dag`` and build
+        ``|psi> = sum_k sqrt(D_k) (U)_{ik} (U*)_{jk} |i>_p |j>_q``, then split into
+        a (p, q)-legged MPS by successive SVDs.  Boundary conditions are finite.
+
+        ``rho`` must have labels ``p0, p0*, ..., p{L-1}, p{L-1}*``.
+        Reference: ``tenpy/networks/purification_mps.py:165``.
+        """
+        L = len(sites)
+        rho = rho.combine_legs([[f'p{i}' for i in range(L)],
+                                [f'p{i}*' for i in range(L)]], qconj=[+1, -1])
+        D, U = npc.eigh(rho)
+        D = np.asarray(D)
+        if np.any(D < -1e-12):
+            raise ValueError("density matrix is not positive semi-definite")
+        D = np.where(D < 0, 0., D)
+        psi = npc.tensordot(U.scale_axis(np.sqrt(D), 1), U.conj(),
+                            axes=[[1], [1]])
+        lab_p = '(' + '.'.join(f'p{i}' for i in range(L)) + ')'
+        lab_ps = '(' + '.'.join(f'p{i}*' for i in range(L)) + ')'
+        psi.iset_leg_labels([lab_p, lab_ps])
+        psi = psi.split_legs()
+        psi.ireplace_labels([f'p{i}*' for i in range(L)],
+                            [f'q{i}' for i in range(L)])
+        # split into B-form tensors pairing (p_i, q_i) per site
+        from ..linalg.charges import LegCharge
+        chinfo = sites[0].leg.chinfo
+        triv = LegCharge.from_trivial(1, chinfo, qconj=+1)
+        psi = psi.add_leg(triv, 0, axis=0, label='vL')
+        psi = psi.add_leg(triv.conj(), 0, axis=psi.rank, label='vR')
+        Bs = [None] * L
+        SVs = [np.ones(1)] * (L + 1)
+        norm = 1.
+        rest = psi
+        for i in range(L - 1, 0, -1):
+            legsL = ['vL'] + [x for k in range(i) for x in (f'p{k}', f'q{k}')]
+            legsR = [f'p{i}', f'q{i}', 'vR']
+            mat = rest.combine_legs([legsL, legsR], qconj=[+1, -1])
+            Uc, S, VH = npc.svd(mat, cutoff=cutoff if cutoff else None,
+                                inner_labels=['vR', 'vL'])
+            S = np.asarray(S)
+            nrm = np.linalg.norm(S)
+            norm *= nrm if i == L - 1 else 1.
+            S = S / nrm
+            Bs[i] = VH.split_legs([1]).ireplace_labels([f'p{i}', f'q{i}'],
+                                                       ['p', 'q'])
+            SVs[i] = S
+            rest = Uc.split_legs([0]).iscale_axis(S * nrm, 'vR')
+        Bs[0] = rest.ireplace_labels(['p0', 'q0'], ['p', 'q'])
+        res = cls.__new__(cls)
+        MPS.__init__(res, sites, Bs, SVs, bc='finite', form='B')
+        res.canonical_form_finite(renormalize=normalize)
+        if normalize:
+            res.norm = 1.
+        return res
 
     # ---------------------------------------------------------------- overrides
     def get_theta(self, i, n=2, cutoff=1e-16, formL=1., formR=1.):
