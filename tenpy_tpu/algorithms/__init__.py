@@ -1,6 +1,8 @@
 """Algorithms: DMRG, TEBD, TDVP, VUMPS, MPO evolution, purification, ED (SURVEY §2.4)."""
-from . import algorithm, mps_common, dmrg, exact_diag, tebd, tdvp, vumps, \
-    mpo_evolution, purification, disentangler
+from . import algorithm, mps_common, dmrg, dmrg_parallel, exact_diag, tebd, \
+    tdvp, vumps, mpo_evolution, purification, disentangler, \
+    network_contractor, plane_wave_excitation
 
-__all__ = ['algorithm', 'mps_common', 'dmrg', 'exact_diag', 'tebd', 'tdvp',
-           'vumps', 'mpo_evolution', 'purification', 'disentangler']
+__all__ = ['algorithm', 'mps_common', 'dmrg', 'dmrg_parallel', 'exact_diag',
+           'tebd', 'tdvp', 'vumps', 'mpo_evolution', 'purification',
+           'disentangler', 'network_contractor', 'plane_wave_excitation']
