@@ -1294,9 +1294,24 @@ class MPS:
 
     # ---------------------------------------------------------------- misc
     def get_total_charge(self, only_physical_legs=False):
+        """Total charge of the state.
+
+        Default: sum of the tensors' qtotal (reference semantics; can be gauged
+        via :meth:`gauge_total_charge`).  ``only_physical_legs=True`` (finite bc)
+        additionally includes the boundary virtual legs' charges, giving the
+        physical total charge even when a product state stores its charge on
+        the accumulated boundary leg.
+        Reference: ``tenpy/networks/mps.py`` same name."""
         q = np.zeros(self.chinfo.qnumber, np.int64)
         for i, B in enumerate(self._B):
             q += np.array(B.qtotal, np.int64)
+        if only_physical_legs:
+            if self.bc == 'infinite':
+                raise ValueError("only_physical_legs not defined for infinite bc")
+            legL = self._B[0].get_leg('vL')
+            legR = self._B[-1].get_leg('vR')
+            q -= np.asarray(legL.to_qflat()[0], np.int64) * legL.qconj
+            q -= np.asarray(legR.to_qflat()[0], np.int64) * legR.qconj
         return self.chinfo.make_valid(q)
 
     def gauge_total_charge(self, qtotal=None, vL_leg=None, vR_leg=None):
