@@ -21,6 +21,7 @@ from ..linalg import np_conserved as npc
 logger = logging.getLogger(__name__)
 
 __all__ = ['Disentangler', 'BackwardDisentangler', 'RenyiDisentangler',
+           'GradientDescentDisentangler',
            'NormDisentangler', 'NoiseDisentangler', 'LastDisentangler',
            'DiagonalizeDisentangler', 'CompositeDisentangler', 'MinDisentangler',
            'get_disentangler']
@@ -53,6 +54,76 @@ class BackwardDisentangler(Disentangler):
         U.iset_leg_labels(['q0*', 'q1*', 'q0', 'q1'])
         theta = npc.tensordot(U, theta, axes=[['q0*', 'q1*'], ['q0', 'q1']])
         return theta, U
+
+
+class GradientDescentDisentangler(Disentangler):
+    """Gradient descent on the n-th Renyi entropy of the bond.
+
+    Per iteration: compute the entropy gradient dS w.r.t. the ancilla unitary,
+    project onto its anti-hermitian part, and pick the best step from
+    ``disent_stepsizes`` via ``U(t) = exp(-t dS)``.
+    Options (from parent): ``disent_max_iter``, ``disent_eps``, ``disent_n``,
+    ``disent_stepsizes``.  Reference: ``disentangler.py:309``."""
+
+    def __init__(self, parent):
+        super().__init__(parent)
+        opts = parent.options
+        self.max_iter = opts.get('disent_max_iter', 20, int)
+        self.eps = opts.get('disent_eps', 1e-10, 'real')
+        self.n = opts.get('disent_n', 1., 'real')
+        self.stepsizes = opts.get('disent_stepsizes', [0.2, 1., 2.])
+
+    def __call__(self, theta):
+        S_old = np.inf
+        U_tot = None
+        for _ in range(self.max_iter):
+            S, theta, U = self.iter(theta)
+            if U_tot is None:
+                U_tot = U
+            else:
+                U_tot = npc.tensordot(U, U_tot,
+                                      axes=[['q0*', 'q1*'], ['q0', 'q1']])
+            if abs(S_old - S) < self.eps:
+                break
+            S_old = S
+        self.parent._last_disentangler_U = U_tot
+        return theta, U_tot
+
+    def iter(self, theta):
+        from ..tools.math import entropy as _entropy
+        th2 = theta.combine_legs([['vL', 'p0', 'q0'], ['vR', 'p1', 'q1']],
+                                 qconj=[+1, -1])
+        X, Y, Z = npc.svd(th2, inner_labels=['vR', 'vL'])
+        Y = np.asarray(Y)
+        n = self.n
+        if n == 1:
+            r = np.where(Y < 1e-14, 0., Y * np.log(np.where(Y < 1e-14, 1., Y)) * 2)
+        else:
+            Ys = np.where(Y < 1e-20, 1e-20, Y)
+            tr_pn = np.sum(Ys ** (2 * n))
+            r = Ys * Ys ** (2 * (n - 1)) * (n / (n - 1.) / tr_pn)
+        XrZ = npc.tensordot(X.scale_axis(r, 'vR'), Z,
+                            axes=[['vR'], ['vL']]).split_legs()
+        dS = npc.tensordot(
+            theta, XrZ.conj(),
+            axes=[['vL', 'p0', 'p1', 'vR'], ['vL*', 'p0*', 'p1*', 'vR*']])
+        dS = dS.combine_legs([['q0', 'q1'], ['q0*', 'q1*']], qconj=[+1, -1])
+        dS_ah = dS - dS.conj().transpose([1, 0]).iset_leg_labels(
+            dS.get_leg_labels())
+        best = None
+        for t in self.stepsizes:
+            U = npc.expm(dS_ah * (-t)).split_legs()
+            U.iset_leg_labels(['q0', 'q1', 'q0*', 'q1*'])
+            new_theta = npc.tensordot(U, theta,
+                                      axes=[['q0*', 'q1*'], ['q0', 'q1']])
+            c2 = new_theta.combine_legs([['vL', 'p0', 'q0'],
+                                         ['vR', 'p1', 'q1']], qconj=[+1, -1])
+            S2 = np.asarray(npc.svd(c2, compute_uv=False))
+            Sval = _entropy(S2 ** 2 / np.sum(S2 ** 2), n)
+            if best is None or Sval < best[0]:
+                best = (Sval, new_theta, U)
+        return best
+
 
 
 class NoiseDisentangler(Disentangler):
@@ -231,6 +302,7 @@ class MinDisentangler(Disentangler):
 
 _DISENT_CLASSES = {
     'backwards': BackwardDisentangler,
+    'graddesc': GradientDescentDisentangler,
     'renyi': RenyiDisentangler,
     'norm': NormDisentangler,
     'noise': NoiseDisentangler,

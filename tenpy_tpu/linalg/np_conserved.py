@@ -1857,6 +1857,30 @@ def _robust_svd(block, full_matrices=False):
         return _sla.svd(block, full_matrices=full_matrices, lapack_driver='gesvd')
 
 
+def speigs(a, charge_sector, k, *args, **kwargs):
+    """Sparse eigen-decomposition of a square 2-leg Array in one charge sector.
+
+    Returns ``(W, vecs)`` with vecs npc Arrays (one leg).
+    Reference: ``tenpy/linalg/np_conserved.py:4024``."""
+    import scipy.sparse.linalg
+    from .sparse import FlatLinearOperator
+    if a.rank != 2:
+        raise ValueError("speigs needs a square 2-leg Array")
+    linop = FlatLinearOperator.from_NpcArray(a, charge_sector=charge_sector)
+    k = min(k, linop.shape[0] - 2) if linop.shape[0] > 2 else 1
+    if linop.shape[0] <= max(k + 1, 3):  # tiny sector: dense
+        n = linop.shape[0]
+        mat = np.stack([linop._matvec(np.eye(n)[:, j]) for j in range(n)], 1)
+        W, V = np.linalg.eig(mat)
+        order = np.argsort(-np.abs(W))[:k]
+        W = W[order]
+        vecs = [linop.flat_to_npc(V[:, j]) for j in order]
+        return W, vecs
+    W, V = scipy.sparse.linalg.eigs(linop, k=k, *args, **kwargs)
+    vecs = [linop.flat_to_npc(V[:, j]) for j in range(V.shape[1])]
+    return W, vecs
+
+
 def pinv(a, cutoff=1e-15):
     """Moore-Penrose pseudo-inverse (blockwise). Reference: ``np_conserved.py:3821``."""
     U, S, VH = svd(a)

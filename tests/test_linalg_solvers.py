@@ -173,3 +173,23 @@ def test_gram_schmidt():
         for j, v in enumerate(ortho):
             ov = complex(npc.inner(u.conj(), v, axes='range'))
             assert abs(ov - (1. if i == j else 0.)) < 1e-12
+
+
+def test_speigs():
+    """Sector-restricted sparse eigensolve of the Heisenberg bond Hamiltonian."""
+    from tenpy_tpu.networks.site import SpinHalfSite
+    site = SpinHalfSite('Sz')
+    h = npc.outer(site.Sz, site.Sz) + 0.5 * (npc.outer(site.Sp, site.Sm)
+                                             + npc.outer(site.Sm, site.Sp))
+    h.iset_leg_labels(['p0', 'p0*', 'p1', 'p1*'])
+    h2 = h.combine_legs([['p0', 'p1'], ['p0*', 'p1*']], qconj=[+1, -1])
+    W, vecs = npc.speigs(h2, [0], 2, which='SR')
+    assert abs(min(np.real(W)) - (-0.75)) < 1e-12
+    assert vecs[0].rank == 1
+
+
+def test_svd_robust_module():
+    from tenpy_tpu.linalg.svd_robust import svd as rsvd
+    a = np.random.default_rng(0).normal(size=(6, 4))
+    u, s, vt = rsvd(a, full_matrices=False)
+    assert np.allclose(u @ np.diag(s) @ vt, a)

@@ -84,3 +84,24 @@ def test_disentangler_renyi():
     E_dis = np.sum(eng_dis.bond_energies()) / psi_dis.overlap(psi_dis).real
     assert abs(E_plain - E_dis) < 1e-6
     assert S_dis <= S_plain + 0.05
+
+
+def test_disentangler_graddesc():
+    """GradientDescent disentangler keeps energies exact (pure ancilla gauge)."""
+    from tenpy_tpu.models.tf_ising import TFIChain
+    from tenpy_tpu.models.model import NearestNeighborModel
+    m = TFIChain({'L': 4, 'J': 1., 'g': 1.2, 'bc_MPS': 'finite',
+                  'conserve': None})
+    mnn = NearestNeighborModel.from_MPOModel(m)
+    psi = PurificationMPS.from_infiniteT(m.lat.mps_sites())
+    eng = PurificationTEBD(psi, mnn, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13}, 'dt': 0.05,
+        'disentangle': 'graddesc'})
+    eng.run_imaginary(0.5)
+    E = np.sum(eng.bond_energies()) / psi.overlap(psi).real
+    psi2 = PurificationMPS.from_infiniteT(m.lat.mps_sites())
+    eng2 = PurificationTEBD(psi2, mnn, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13}, 'dt': 0.05})
+    eng2.run_imaginary(0.5)
+    E2 = np.sum(eng2.bond_energies()) / psi2.overlap(psi2).real
+    assert abs(E - E2) < 1e-6
