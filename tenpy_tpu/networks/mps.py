@@ -781,6 +781,60 @@ class MPS:
             return np.zeros(self.chinfo.qnumber)
         return sum(np.asarray(q, float) * p for q, p in probs)
 
+    def charge_variance(self, bond=0):
+        """Variance of the conserved charge left of `bond`:
+        <N_b^2> - <N_b>^2 per charge.  Reference: ``mps.py:4088``."""
+        probs = self.probability_per_charge(bond)
+        if not probs:
+            return np.zeros(self.chinfo.qnumber)
+        mean = self.average_charge(bond)
+        return sum(np.asarray(q, float) ** 2 * p for q, p in probs) - mean ** 2
+
+    def get_rho_segment(self, segment):
+        """Reduced density matrix of the given (sorted) sites; labels
+        ``p0..pk, p0*..pk*``.  Exponential in the segment length.
+        Reference: ``tenpy/networks/mps.py:3979``."""
+        segment = np.sort(np.asarray(segment, int))
+        if len(segment) > 20:
+            raise ValueError("segment too large: exponentially expensive")
+        if np.all(segment[1:] == segment[:-1] + 1):
+            theta = self.get_theta(int(segment[0]),
+                                   int(segment[-1] - segment[0] + 1))
+            return npc.tensordot(theta, theta.conj(),
+                                 axes=[['vL', 'vR'], ['vL*', 'vR*']])
+        rho = self.get_theta(int(segment[0]), 1)
+        rho = npc.tensordot(rho, rho.conj(), axes=[['vL'], ['vL*']])
+        k = 1
+        for i in range(int(segment[0]) + 1, int(segment[-1])):
+            B = self.get_B(i, 'B')
+            if k < len(segment) and i == segment[k]:
+                B = B.replace_label('p', f'p{k}')
+                k += 1
+                rho = npc.tensordot(rho, B, axes=[['vR'], ['vL']])
+                rho = npc.tensordot(rho, B.conj(), axes=[['vR*'], ['vL*']])
+            else:
+                rho = npc.tensordot(rho, B, axes=[['vR'], ['vL']])
+                rho = npc.tensordot(rho, B.conj(),
+                                    axes=[['vR*', 'p'], ['vL*', 'p*']])
+        B = self.get_B(int(segment[-1]), 'B').replace_label('p', f'p{k}')
+        rho = npc.tensordot(rho, B, axes=[['vR'], ['vL']])
+        rho = npc.tensordot(rho, B.conj(),
+                            axes=[['vR*', 'vR'], ['vL*', 'vR*']])
+        return rho
+
+    def spatial_inversion(self):
+        """Mirror the MPS: site i <-> site L-1-i; in place.
+        Reference: ``tenpy/networks/mps.py:3334``."""
+        self.sites = self.sites[::-1]
+        self.form = [(f if f is None else (f[1], f[0]))
+                     for f in self.form[::-1]]
+        self._B = [B.replace_labels(['vL', 'vR'], ['vR', 'vL'])
+                   .transpose(['vL'] + self._p_label + ['vR'])
+                   for B in self._B[::-1]]
+        self._S = self._S[::-1]
+        self.test_sanity()
+        return self
+
     # ---------------------------------------------------------------- canonicalization
     def canonical_form(self, **kwargs):
         """Bring the MPS into canonical form (finite or infinite dispatch)."""

@@ -128,3 +128,30 @@ def test_swap_sites():
     psi.swap_sites(1)
     sz = psi.expectation_value('Sz')
     assert np.allclose(sz, [0.5, 0.5, -0.5, -0.5])
+
+
+def test_rho_segment_and_charge_variance():
+    from tenpy_tpu.networks.site import SpinHalfSite
+    site = SpinHalfSite('Sz')
+    psi = MPS.from_singlets(site, 4, [(0, 1), (2, 3)], bc='finite')
+    rho = psi.get_rho_segment([1, 2])  # contiguous
+    rd = np.asarray(rho.transpose(['p0', 'p1', 'p0*', 'p1*'])
+                    .to_ndarray()).reshape(4, 4)
+    assert np.allclose(rd, np.eye(4) / 4)
+    rho2 = psi.get_rho_segment([0, 2])  # non-contiguous
+    rd2 = np.asarray(rho2.transpose(['p0', 'p1', 'p0*', 'p1*'])
+                     .to_ndarray()).reshape(4, 4)
+    assert np.allclose(rd2, np.eye(4) / 4)
+    assert np.allclose(psi.charge_variance(1), [1.0])
+    assert np.allclose(psi.charge_variance(2), [0.0])
+
+
+def test_spatial_inversion():
+    from tenpy_tpu.networks.site import SpinHalfSite
+    site = SpinHalfSite('Sz')
+    psi = MPS.from_product_state([site] * 4, ['up', 'up', 'down', 'up'],
+                                 bc='finite')
+    sz0 = psi.expectation_value('Sz')
+    psi.spatial_inversion()
+    assert np.allclose(psi.expectation_value('Sz'), sz0[::-1])
+    psi.test_sanity()
