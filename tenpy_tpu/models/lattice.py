@@ -270,6 +270,12 @@ class Lattice:
                 j = self.lat2mps_idx(j_lat)
             except IndexError:
                 continue
+            if self.bc_MPS == 'infinite':
+                # normalize translation: 0 <= min(i, j) < N_sites (reference
+                # convention; required e.g. by the HelicalLattice restriction)
+                shift = (min(i, j) // self.N_sites) * self.N_sites
+                i -= shift
+                j -= shift
             mps_i.append(i)
             mps_j.append(j)
             lat_idx.append(x)
@@ -312,6 +318,9 @@ class Lattice:
                     break
             if not ok:
                 continue
+            if self.bc_MPS == 'infinite':
+                shift = (min(ijkl) // self.N_sites) * self.N_sites
+                ijkl = [x - shift for x in ijkl]
             mps_ijkl.append(ijkl)
             lat_idx.append(x)
         mps_ijkl = np.array(mps_ijkl, int).reshape(len(mps_ijkl), len(ops))
@@ -657,12 +666,92 @@ class IrregularLattice(Lattice):
 
 
 class HelicalLattice(Lattice):
-    """Helical winding of a 2D lattice into a smaller translation cell.
+    """Translation-invariant helical winding of a tilted 2D cylinder.
 
-    Reference: ``lattice.py:2234``.  Minimal stub storing the wrapped lattice."""
+    With shifted periodic boundary ``bc=['periodic', -1]`` the site at
+    ``(x, Ly-1)`` neighbors ``(x+1, 0)``: the MPS winds as a helix around the
+    cylinder and the system is translation invariant under a shift by a single
+    *lattice* unit cell.  The MPS unit cell then holds only
+    ``N_unit_cells * len(unit_cell)`` sites; couplings are those of the
+    regular lattice restricted to ``min(i, j, ...) < N_sites``.
+    Reference: ``tenpy/models/lattice.py:2234``.
+    """
 
     def __init__(self, regular_lattice, N_unit_cells):
-        raise NotImplementedError("HelicalLattice: later round (see TODO.md)")
+        reg = regular_lattice
+        if isinstance(reg, HelicalLattice):
+            raise ValueError("regular_lattice can't itself be helical")
+        if reg.dim != 2:
+            raise ValueError("HelicalLattice works only for 2D lattices")
+        if reg.bc_MPS != 'infinite':
+            raise ValueError("HelicalLattice requires bc_MPS='infinite'")
+        if tuple(reg.bc_shift[1:]) != (-1,):
+            raise ValueError("initialize the regular lattice with "
+                             "bc=['periodic', -1] (shifted periodic around y)")
+        if reg.N_cells % N_unit_cells != 0 or N_unit_cells > reg.N_cells:
+            raise ValueError("N_unit_cells incommensurate with the regular "
+                             "lattice; increase Lx")
+        self.regular_lattice = reg
+        self._N_cells_helical = N_unit_cells
+        # copy geometry from the regular lattice; only N_sites/order shrink
+        self.Ls = reg.Ls
+        self.unit_cell = reg.unit_cell
+        self.Lu = reg.Lu
+        self.dim = reg.dim
+        self.shape = reg.shape
+        self.N_cells = N_unit_cells
+        self.N_sites = N_unit_cells * reg.Lu
+        self.N_sites_per_ring = None  # not meaningful for a helix
+        self.N_rings = None
+        self.chinfo = reg.chinfo
+        self.bc_MPS = reg.bc_MPS
+        self.bc = reg.bc
+        self.bc_shift = reg.bc_shift
+        self.basis = reg.basis
+        self.position_vectors = reg.position_vectors
+        self.pairs = reg.pairs
+        self._order_name = 'helical'
+        order = np.asarray(reg.order, int)
+        # require C-style order of the regular lattice (up to the unit-cell
+        # internal order): translation invariance along the helix needs the MPS
+        # to wind ring by ring
+        self.order = order[:self.N_sites]
+
+    def test_sanity(self):
+        assert len(self._order) == self.N_sites
+
+    # index conversions delegate to the regular lattice (same winding,
+    # just a smaller translation cell)
+    def mps2lat_idx(self, i):
+        return self.regular_lattice.mps2lat_idx(i)
+
+    def lat2mps_idx(self, lat_idx):
+        return self.regular_lattice.lat2mps_idx(lat_idx)
+
+    def mps2lat_values(self, *args, **kwargs):
+        raise NotImplementedError("ill-defined on a helix: values repeat with "
+                                  "the helical period")
+
+    def possible_couplings(self, u1, u2, dx, strength=None):
+        reg = self.regular_lattice
+        mps_i, mps_j, lat_idx, coupling_shape = reg.possible_couplings(u1, u2,
+                                                                       dx)
+        keep = np.min([mps_i, mps_j], axis=0) < self.N_sites
+        return mps_i[keep], mps_j[keep], lat_idx[keep], coupling_shape
+
+    def possible_multi_couplings(self, ops):
+        reg = self.regular_lattice
+        mps_ijkl, lat_idx, coupling_shape = reg.possible_multi_couplings(ops)
+        keep = np.min(mps_ijkl, axis=1) < self.N_sites
+        return mps_ijkl[keep, :], lat_idx[keep, :], coupling_shape
+
+    def enlarge_mps_unit_cell(self, factor=2):
+        if (self._N_cells_helical * factor > self.regular_lattice.N_cells or
+                self.regular_lattice.N_cells %
+                (self._N_cells_helical * factor) != 0):
+            self.regular_lattice.enlarge_mps_unit_cell(factor)
+        HelicalLattice.__init__(self, self.regular_lattice,
+                                self._N_cells_helical * factor)
 
 
 def get_lattice(lattice_name):

@@ -832,13 +832,25 @@ class MPOGraph:
 
     def add_string_left_to_right(self, i, j, key, op_string, check_op=True):
         """Insert `op_string` edges on sites i+1..j-1 carrying `key`; return the key
-        valid on bond j."""
+        valid on bond j.
+
+        For infinite bc, a string longer than the unit cell visits the same
+        bond more than once; re-using one key there would create a CYCLE in the
+        FSM (spurious arbitrarily-long couplings).  Keys therefore carry the
+        winding number once the string wraps."""
         if isinstance(op_string, npc.Array):
             raise NotImplementedError("Array op_string not supported")
+
+        def bond_key(b):
+            if self.bc == 'finite':
+                return key
+            w = (b - (i + 1)) // self.L
+            return key if w == 0 else (key, 'wind', w)
+
         for x in range(i + 1, j):
-            self.add(x, key, key, op_string, 1., check_op=check_op,
-                     skip_existing=True)
-        return key
+            self.add(x, bond_key(x), bond_key(x + 1), op_string, 1.,
+                     check_op=check_op, skip_existing=True)
+        return bond_key(j)
 
     def add_string_right_to_left(self, j, i, key, op_string, check_op=True):
         return self.add_string_left_to_right(i, j, key, op_string, check_op)
@@ -1210,8 +1222,22 @@ class MPOTransferMatrix:
             mat = np.stack([linop._matvec(basis[:, j]) for j in range(n)], axis=1)
             evals, evecs = np.linalg.eig(mat)
             order = np.argsort(-np.abs(evals))
-            val = evals[order[0]]
-            vec = linop.flat_to_npc(evecs[:, order[0]])
+            # the top eigenvalue can be degenerate (e.g. operator strings
+            # passing through the whole unit cell): among the near-top
+            # eigenvectors pick the one with the largest Id-channel trace,
+            # which is the physical environment
+            top = [j for j in order
+                   if abs(abs(evals[j]) - abs(evals[order[0]])) < 1e-8]
+            best = None
+            for j in top:
+                v_npc = linop.flat_to_npc(evecs[:, j]).split_legs([0])
+                v_npc.iset_leg_labels(list(self._axes[0]))
+                tr = abs(complex(npc.inner(self._proj_norm, v_npc,
+                                           axes='range', do_conj=False)))
+                if best is None or tr > best[0]:
+                    best = (tr, j)
+            val = evals[best[1]]
+            vec = linop.flat_to_npc(evecs[:, best[1]])
         else:
             opts = dict(options or {})
             vals, vecs = linop.eigenvectors(num_ev=1, which='LM', v0_npc=v0,

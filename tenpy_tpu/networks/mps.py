@@ -1932,6 +1932,7 @@ def _cf_orthogonalize(Ms, X, tol, p_label, left, arnoldi_params=None,
     from ..linalg.krylov_based import Arnoldi
     L = len(Ms)
     err = np.inf
+    best = (np.inf, None, None, 1.)
     norm = 1.
     for _ in range(max_iters):
         X = X / npc.norm(X)
@@ -1971,6 +1972,8 @@ def _cf_orthogonalize(Ms, X, tol, p_label, left, arnoldi_params=None,
             err = np.inf  # leg structure changed (first iterations): keep going
         if err <= tol:
             return Qs, X, norm
+        if err < best[0]:
+            best = (err, Qs, X, norm)
         if err < 1e-2:  # Arnoldi acceleration once roughly converged
             opts = dict(arnoldi_params or {})
             opts.setdefault('N_max', 20)
@@ -1989,5 +1992,12 @@ def _cf_orthogonalize(Ms, X, tol, p_label, left, arnoldi_params=None,
                 X = X_acc
             except Exception:
                 pass  # fall back to plain power iteration
+    if best[0] < 1e-6:
+        # degenerate singular values leave a residual gauge-phase noise floor;
+        # the state itself is canonical to ~best err, which downstream norm_tol
+        # checks will judge
+        logger.warning("canonical_form_infinite: gauge iteration plateaued at "
+                       "err=%.2e (tol=%.0e)", best[0], tol)
+        return best[1], best[2], best[3]
     raise RuntimeError(
         f"canonical_form_infinite did not converge to tol={tol}; last err={err}")
