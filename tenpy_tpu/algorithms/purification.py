@@ -37,15 +37,46 @@ class PurificationTEBD(TEBDEngine):
         self._disentangler = get_disentangler(spec, self) if spec else None
 
     def run_imaginary(self, beta):
-        """Evolve ``exp(-beta H / 2)`` (thermal state at inverse temperature beta).
+        """Evolve ``exp(-beta H / 2)`​` (thermal state at inverse temperature beta).
 
-        Options: ``dt`` (imaginary step).  Reference: ``purification.py`` same name."""
+        Options: ``dt`` (imaginary step).  For finite bc + order 2 the
+        canonical-form-preserving :meth:`update_imag` is used (2nd order in
+        dt; the generic evolve degrades to 1st order for non-unitary gates).
+        Reference: ``purification.py`` same name."""
         dt = self.options.get('dt', 0.1, 'real')
         N_steps = int(round(beta / 2. / dt))
         order = self.options.get('order', 2)
         self.calc_U(order, dt, type_evo='imag')
-        self.evolve(N_steps, dt)
+        if self.psi.finite and order == 2 and type(self) is PurificationTEBD:
+            self.update_imag(N_steps)
+        else:
+            self.evolve(N_steps, dt)
         logger.info("purification: evolved to beta=%.3f", 2 * dt * N_steps)
+
+    def update_bond_imag(self, i, U_bond):
+        """Canonical-form-preserving imaginary bond update on (p, q) legs.
+
+        Reference: ``tenpy/algorithms/tebd.py:742`` (purification override)."""
+        psi = self.psi
+        i0 = i - 1
+        theta = psi.get_theta(i0, 2)  # vL p0 q0 p1 q1 vR
+        theta = npc.tensordot(U_bond, theta, axes=[['p0*', 'p1*'], ['p0', 'p1']])
+        if self._disentangler is not None:
+            theta, _ = self._disentangler(theta)
+        theta.itranspose(['vL', 'p0', 'q0', 'p1', 'q1', 'vR'])
+        theta = theta.combine_legs([['vL', 'p0', 'q0'], ['p1', 'q1', 'vR']],
+                                   qconj=[+1, -1])
+        U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
+                                          inner_labels=['vR', 'vL'])
+        psi.norm *= renorm
+        B_R = VH.split_legs([1]).ireplace_labels(['p1', 'q1'], ['p', 'q'])
+        A_L = U.split_legs([0]).ireplace_labels(['p0', 'q0'], ['p', 'q'])
+        psi.set_SR(i0, S)
+        psi.set_B(i0, A_L, form='A')
+        psi.set_B(i0 + 1, B_R, form='B')
+        self._trunc_err_bonds[i % (psi.L + 1)] = \
+            self._trunc_err_bonds[i % (psi.L + 1)] + err
+        return err
 
     def update_bond(self, i, U_bond):
         """Apply the gate on the p legs of sites (i-1, i); then disentangle.

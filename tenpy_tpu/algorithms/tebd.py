@@ -211,6 +211,59 @@ class TEBDEngine(TimeEvolutionAlgorithm):
             self._trunc_err_bonds[i % (psi.L + 1)] + err
         return err
 
+    def update_bond_imag(self, i, U_bond):
+        """Update bond i with a non-unitary gate, KEEPING canonical form.
+
+        After a non-unitary gate the state's old singular values are stale; the
+        inverse-free reconstruction of :meth:`update_bond` then degrades
+        imaginary-time evolution to first order in dt.  Here we store the SVD's
+        A/S/B directly (valid since :meth:`update_imag` sweeps sequentially).
+        Reference: ``tenpy/algorithms/tebd.py:545``.
+        """
+        psi = self.psi
+        i0 = i - 1
+        theta = psi.get_theta(i0, 2)
+        theta = npc.tensordot(U_bond, theta, axes=[['p0*', 'p1*'], ['p0', 'p1']])
+        theta.itranspose(['vL', 'p0', 'p1', 'vR'])
+        theta = theta.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
+        U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
+                                          inner_labels=['vR', 'vL'])
+        psi.norm *= renorm
+        B_R = VH.split_legs([1]).ireplace_label('p1', 'p')
+        A_L = U.split_legs([0]).ireplace_label('p0', 'p')
+        psi.set_SR(i0, S)
+        psi.set_B(i0, A_L, form='A')
+        psi.set_B(i0 + 1, B_R, form='B')
+        self._trunc_err_bonds[i % (psi.L + 1)] = \
+            self._trunc_err_bonds[i % (psi.L + 1)] + err
+        return err
+
+    def update_imag(self, N_steps):
+        """Second-order imaginary-time evolution: dt/2 right-sweep + dt/2
+        left-sweep per step with canonical-form-preserving bond updates.
+
+        Requires order=2, finite bc.  Reference: ``tenpy/algorithms/tebd.py:497``.
+        """
+        if self._U_param['order'] != 2 or not self.psi.finite:
+            raise NotImplementedError("update_imag needs order=2 + finite bc")
+        assert self.suzuki_trotter_time_steps(2)[0] == 0.5
+        Us = self._U[0]  # the dt/2 gates
+        trunc_err = TruncationError()
+        L = self.psi.L
+        for _ in range(N_steps):
+            for i_bond in range(L):
+                if Us[i_bond] is None:
+                    continue
+                trunc_err += self.update_bond_imag(i_bond, Us[i_bond])
+            for i_bond in range(L - 1, -1, -1):
+                if Us[i_bond] is None:
+                    continue
+                trunc_err += self.update_bond_imag(i_bond, Us[i_bond])
+        self.evolved_time = self.evolved_time + N_steps * self._U_param['delta_t']
+        self.trunc_err = self.trunc_err + trunc_err
+        self.psi.canonical_form_finite(renormalize=True)
+        return trunc_err
+
     # ---------------------------------------------------------------- ground state
     def run_GS(self):
         """Imaginary-time TEBD ground-state search with a dt-ramp.
@@ -227,8 +280,12 @@ class TEBDEngine(TimeEvolutionAlgorithm):
         for delta_tau in delta_tau_list:
             self.calc_U(order, delta_tau, type_evo='imag')
             E_old = np.mean(self.bond_energies())
+            use_imag = self.psi.finite and order == 2
             while True:
-                self.evolve(N_steps, delta_tau)
+                if use_imag:
+                    self.update_imag(N_steps)
+                else:
+                    self.evolve(N_steps, delta_tau)
                 E = np.mean(self.bond_energies())
                 dE = abs(E - E_old)
                 E_old = E

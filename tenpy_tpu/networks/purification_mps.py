@@ -56,6 +56,73 @@ class PurificationMPS(MPS):
         return res
 
     @classmethod
+    def from_infiniteT_canonical(cls, sites, charge_sector, dtype=np.float64,
+                                 conserve_ancilla_charge=False):
+        r"""Infinite-temperature purification of the *canonical* ensemble:
+        equal weight over all basis states with total charge ``charge_sector``
+        (barthel2016, section VI.C).  Finite boundary conditions only.
+
+        ``B[vL, p, q, vR] = delta_{p,q} delta_{Q(vL)+Q(p), Q(vR)}`` with bond
+        legs enumerating the reachable partial charges; the ancilla leg is
+        charge-less (``conserve_ancilla_charge=True`` is a round-2 item).
+        Reference: ``tenpy/networks/purification_mps.py:262``.
+        """
+        if conserve_ancilla_charge:
+            raise NotImplementedError("separate ancilla charges: round 2")
+        sites = list(sites)
+        L = len(sites)
+        chinfo = sites[0].leg.chinfo
+        charge_sector = tuple(int(q) for q in chinfo.make_valid(charge_sector))
+        # forward / backward reachable partial charges
+        site_charges = []
+        for s in sites:
+            leg = s.leg
+            qs = [tuple(int(x) for x in np.asarray(leg.to_qflat()[i]) * leg.qconj)
+                  for i in range(s.dim)]
+            site_charges.append(qs)
+        fwd = [{tuple([0] * chinfo.qnumber)}]
+        for i in range(L):
+            fwd.append({tuple(chinfo.make_valid(np.asarray(q) + np.asarray(qp)))
+                        for q in fwd[-1] for qp in site_charges[i]})
+        bwd = [None] * (L + 1)
+        bwd[L] = {charge_sector}
+        for i in range(L - 1, -1, -1):
+            bwd[i] = {tuple(chinfo.make_valid(np.asarray(q) - np.asarray(qp)))
+                      for q in bwd[i + 1] for qp in site_charges[i]}
+        keep = [sorted(fwd[i] & bwd[i]) for i in range(L + 1)]
+        if not keep[0] or not keep[L]:
+            raise ValueError(f"charge sector {charge_sector} unreachable")
+        legs_v = [LegCharge.from_qflat(chinfo,
+                                       np.array(k, np.int64).reshape(len(k),
+                                                                     chinfo.qnumber),
+                                       qconj=+1)
+                  for k in keep]
+        Bs = []
+        for i, site in enumerate(sites):
+            d = site.dim
+            nL, nR = len(keep[i]), len(keep[i + 1])
+            idxR = {q: a for a, q in enumerate(keep[i + 1])}
+            dense = np.zeros((nL, d, d, nR))
+            for a, qL in enumerate(keep[i]):
+                for p in range(d):
+                    qR = tuple(chinfo.make_valid(np.asarray(qL)
+                                                 + np.asarray(site_charges[i][p])))
+                    b = idxR.get(qR)
+                    if b is not None:
+                        dense[a, p, p, b] = 1.
+            q_leg = LegCharge.from_trivial(d, chinfo, qconj=-1)
+            B = npc.Array.from_ndarray(
+                dense, [legs_v[i], site.leg, q_leg, legs_v[i + 1].conj()],
+                labels=['vL', 'p', 'q', 'vR'], dtype=dtype,
+                warn_wrong_sector=False)
+            Bs.append(B)
+        SVs = [np.ones(l.ind_len) / np.sqrt(l.ind_len) for l in legs_v]
+        res = cls.__new__(cls)
+        MPS.__init__(res, sites, Bs, SVs, bc='finite', form=None)
+        res.canonical_form_finite(renormalize=True)
+        return res
+
+    @classmethod
     def from_density_matrix(cls, sites, rho, cutoff=1e-16, normalize=True):
         r"""Purify a full density matrix: diagonalize ``rho = U D U^dag`` and build
         ``|psi> = sum_k sqrt(D_k) (U)_{ik} (U*)_{jk} |i>_p |j>_q``, then split into
@@ -146,8 +213,22 @@ class PurificationMPS(MPS):
             res = res.real
         return res
 
-    def expectation_value_term(self, term, autoJW=True):
-        raise NotImplementedError("term expectation on purification: later round")
+    def expectation_value_multi_sites(self, operators, i0):
+        """<psi| op_{i0} ... |psi> with ops on the physical legs; ancilla legs
+        are traced over automatically (contracted bra-ket)."""
+        ops = [self.get_op([op], i0 + k) if isinstance(op, str) else op
+               for k, op in enumerate(operators)]
+        theta = self.get_theta(i0, len(ops))
+        ctheta = theta.conj()
+        for k, op in enumerate(ops):
+            theta = npc.tensordot(op, theta, axes=[['p*'], [f'p{k}']])
+            theta.ireplace_label('p', f'p{k}')
+        n = len(ops)
+        axes = [['vL*', 'vR*'] + [f'p{k}*' for k in range(n)]
+                + [f'q{k}*' for k in range(n)],
+                ['vL', 'vR'] + [f'p{k}' for k in range(n)]
+                + [f'q{k}' for k in range(n)]]
+        return complex(npc.tensordot(ctheta, theta, axes=axes))
 
     def norm_test(self):
         res = np.empty((self.L, 2))

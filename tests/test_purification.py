@@ -105,3 +105,70 @@ def test_disentangler_graddesc():
     eng2.run_imaginary(0.5)
     E2 = np.sum(eng2.bond_energies()) / psi2.overlap(psi2).real
     assert abs(E - E2) < 1e-6
+
+
+def test_from_infiniteT_canonical():
+    """Canonical infinite-T ensemble: equal weight over fixed-Sz basis states."""
+    import itertools
+    L = 4
+    site = SpinHalfSite('Sz')
+    psi = PurificationMPS.from_infiniteT_canonical([site] * L, [0])
+    psi.test_sanity()
+    states = [s for s in itertools.product([0.5, -0.5], repeat=L)
+              if sum(s) == 0]
+    assert np.allclose(psi.expectation_value('Sz'), 0., atol=1e-12)
+    for (i, j) in [(0, 1), (0, 3), (1, 2)]:
+        exact = np.mean([s[i] * s[j] for s in states])
+        corr = float(psi.correlation_function(
+            'Sz', 'Sz', sites1=[i], sites2=[j]).ravel()[0].real)
+        assert abs(corr - exact) < 1e-10
+    # nonzero sector
+    psi2 = PurificationMPS.from_infiniteT_canonical([site] * L, [2])
+    states2 = [s for s in itertools.product([0.5, -0.5], repeat=L)
+               if sum(s) == 1.0]
+    for i in range(L):
+        exact = np.mean([s[i] for s in states2])
+        assert abs(psi2.expectation_value('Sz')[i] - exact) < 1e-10
+
+
+def test_update_imag_second_order():
+    """Canonical-form-preserving imaginary updates are 2nd order in dt
+    (the generic inverse-free update degrades to 1st order for non-unitary
+    gates)."""
+    import functools
+    from tenpy_tpu.models.xxz_chain import XXZChain
+    from tenpy_tpu.models.model import NearestNeighborModel
+    L, beta = 4, 1.0
+    m = XXZChain({'L': L, 'Jxx': 1., 'Jz': 1.3, 'hz': 0., 'bc_MPS': 'finite'})
+    mnn = NearestNeighborModel.from_MPOModel(m)
+    site = m.lat.mps_sites()[0]
+    sp = np.asarray(site.Sp.to_ndarray())
+    sm = np.asarray(site.Sm.to_ndarray())
+    szm = np.asarray(site.Sz.to_ndarray())
+
+    def two(i, a, b):
+        ops = [np.eye(2)] * L
+        ops[i] = a
+        ops[i + 1] = b
+        return functools.reduce(np.kron, ops)
+
+    Hk = sum(0.5 * (two(i, sp, sm) + two(i, sm, sp)) + 1.3 * two(i, szm, szm)
+             for i in range(L - 1))
+    Szt = sum(functools.reduce(np.kron,
+                               [szm if j == i else np.eye(2) for j in range(L)])
+              for i in range(L))
+    sector = np.isclose(np.diag(Szt), 0.)
+    ws = np.linalg.eigvalsh(Hk[np.ix_(sector, sector)])
+    Z = np.sum(np.exp(-beta * (ws - ws[0])))
+    E_exact = float(np.sum(ws * np.exp(-beta * (ws - ws[0]))) / Z)
+    errs = []
+    for dt in (0.05, 0.025):
+        psi = PurificationMPS.from_infiniteT_canonical(m.lat.mps_sites(), [0])
+        eng = PurificationTEBD(psi, mnn, {
+            'trunc_params': {'chi_max': 64, 'svd_min': 1e-13},
+            'dt': dt, 'order': 2})
+        eng.run_imaginary(beta)
+        E = np.sum(eng.bond_energies()) / psi.overlap(psi).real
+        errs.append(abs(E - E_exact))
+    assert errs[0] < 1e-4
+    assert 3.0 < errs[0] / errs[1] < 5.0  # 2nd order: ratio ~4

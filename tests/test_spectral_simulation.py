@@ -100,3 +100,32 @@ def test_spectral_simulation(tfi_gs_data):
     arr = np.asarray(S['spectral_function'])
     assert np.sum(np.abs(arr)) > 0
     assert arr.shape[1] == L  # one momentum per site
+
+
+def test_braket_evolution(tfi_gs_data):
+    """Evolving bra AND ket reproduces the single-sided correlation for a
+    ground state (where both agree)."""
+    m, psi, E0 = tfi_gs_data
+    L = psi.L
+    common = dict(
+        model_class='TFIChain',
+        model_params={'L': L, 'J': 1., 'g': 1.2, 'bc_MPS': 'finite',
+                      'conserve': None},
+        algorithm_class='TEBDEngine',
+        algorithm_params={'dt': 0.05, 'N_steps': 2, 'order': 4,
+                          'trunc_params': {'chi_max': 64, 'svd_min': 1e-12}},
+        final_time=0.3,
+        operator_t='Sigmaz',
+        operator_t0={'opname': 'Sigmaz', 'mps_idx': L // 2},
+        save_psi=False, output_filename=None)
+    res1 = run_simulation(simulation_class='TimeDependentCorrelation',
+                          ground_state_data={'psi': psi.copy(), 'energy': E0},
+                          **common)
+    res2 = run_simulation(
+        simulation_class='TimeDependentCorrelationEvolveBraKet',
+        ground_state_data={'psi': psi.copy(), 'energy': E0}, **common)
+    key = 'correlation_function_t_Sigmaz_Sigmaz'
+    C1 = np.asarray(res1['measurements'][key])
+    C2 = np.asarray(res2['measurements'][key])
+    assert C1.shape == C2.shape
+    assert np.max(np.abs(C1 - C2)) < 1e-6
