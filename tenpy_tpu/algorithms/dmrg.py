@@ -367,6 +367,8 @@ class TwoSiteDMRGEngine(DMRGEngine):
         self.psi.set_B(i0, A0, form='A')
         self.psi.set_B(i0 + 1, B1, form='B')
         self.psi.set_SR(i0, S)
+        if isinstance(S, npc.Array):  # matrix-valued S from the mixer
+            S = npc.svd(S, compute_uv=False)
         self._entropy_approx[(i0 + 1) % self.psi.L] = \
             float(-np.sum(np.asarray(S) ** 2 * np.log(np.maximum(
                 np.asarray(S) ** 2, 1e-300))))

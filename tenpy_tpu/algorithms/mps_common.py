@@ -526,26 +526,33 @@ class DensityMatrixMixer(Mixer):
         W_R, V, errR, renormR = eigh_rho(rho_R, trunc_par, sort='m>')
         U.iset_leg_labels(['(vL.p0)', 'vR'])
         V.iset_leg_labels(['(p1.vR)', 'vL'])
+        # gauge qtotals like svd_theta: U carries the old A-tensor charge, VH the rest
+        chinfo = theta.chinfo
+        qtotal_L = engine.psi.get_B(i0, None).qtotal
+        U = U.gauge_total_charge('vR', chinfo.make_valid(qtotal_L))
+        VH = V.transpose(['vL', '(p1.vR)'])
+        VH = VH.gauge_total_charge('vL', chinfo.make_valid(
+            chinfo.make_valid(theta.qtotal) - qtotal_L))
         theta_c = theta if theta.rank == 2 else \
             theta_s.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
-        # theta in the mixed bases: theta_mixed = U^dag . theta . conj(V)
-        thetaU = npc.tensordot(U.conj(), theta_c,
-                               axes=[['(vL*.p0*)'], ['(vL.p0)']])
-        S_mat = npc.tensordot(thetaU, V.conj(), axes=[['(p1.vR)'], ['(p1*.vR*)']])
-        S_mat.iset_leg_labels(['vL', 'vR'])
-        # small SVD for a diagonal S; rotate U, V into the SVD bases:
-        # theta = (U U2) S (V2H V^T)
-        U2, S, V2H = npc.svd(S_mat, inner_labels=['vR', 'vL'])
-        S = np.asarray(S)
-        renorm = np.linalg.norm(S)
-        S = S / renorm
-        U_f = npc.tensordot(U, U2, axes=[['vR'], ['vL']])
-        U_f.iset_leg_labels(['(vL.p0)', 'vR'])
-        VH_f = npc.tensordot(V2H, V, axes=[['vR'], ['vL']])
-        VH_f.iset_leg_labels(['vL', '(p1.vR)'])
+        # theta in the mixed bases: a *non-diagonal* bond matrix
+        # S = U^dag . theta . VH^dag.  Keeping it as a matrix (rather than
+        # re-SVDing) preserves the mixer's new charge sectors on the bond —
+        # a re-SVD would drop sectors where theta has no weight yet, which is
+        # precisely what the mixer exists to inject (cf. reference
+        # mps_common.py:2029 svd_from_rho).
+        S_mat = npc.tensordot(U.conj(), theta_c,
+                              axes=[['(vL*.p0*)'], ['(vL.p0)']])
+        S_mat = npc.tensordot(S_mat, VH.conj(), axes=[['(p1.vR)'], ['(p1*.vR*)']])
+        S_mat.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+        S_mat = S_mat / npc.norm(S_mat)
+        S_approx = np.sqrt(np.maximum(np.asarray(W_L), 0.))
+        nrm = np.linalg.norm(S_approx)
+        if nrm > 0:
+            S_approx = S_approx / nrm
         err = TruncationError(errL.eps + errR.eps,
                               (1 - errL.eps) * (1 - errR.eps))
-        return U_f, np.asarray(S), VH_f, err, S
+        return U, S_mat, VH, err, S_approx
 
     def mix_rho(self, engine, theta, i0, update_LP, update_RP):
         raise NotImplementedError
@@ -941,6 +948,54 @@ class Sweep(Algorithm):
         if self.mixer is not None:
             logger.info("disable mixer after %d sweeps", self.sweeps)
         self.mixer = None
+        had_matrix = any(isinstance(s, npc.Array) for s in self.psi._S)
+        self._absorb_matrix_S()
+        if had_matrix and self.env is not None:
+            # the absorption rotated bond bases: cached environments are stale
+            self.env.clear()
+            self.env.init_first_LP_last_RP()
+            for env in self.ortho_to_envs:
+                env.clear()
+                env.init_first_LP_last_RP()
+
+    def _absorb_matrix_S(self):
+        """SVD any matrix-valued bond S left by the mixer back to diagonal form.
+
+        Rotates the bond basis by ``S = U s VH``.  The rotation applied to each
+        neighbor depends on its stored form: an A-form left neighbor does not
+        contain S (rotate by U); a B-form one already absorbed S (rotate by
+        VH^dagger, projecting S's exact null space) — mirrored on the right."""
+        psi = self.psi
+        for b in range(psi.L + 1 if psi.finite else psi.L):
+            S = psi._S[b]
+            if not isinstance(S, npc.Array):
+                continue
+            U, s, VH = npc.svd(S, inner_labels=['vR', 'vL'])
+            s = np.asarray(s)
+            nrm = np.linalg.norm(s)
+            psi._S[b] = s / (nrm if nrm > 0 else 1.)
+            iL = (b - 1) % psi.L
+            iR = b % psi.L
+            fL = psi.form[iL]
+            fR = psi.form[iR]
+            if fL is None or fR is None or fL[1] not in (0., 1.) \
+                    or fR[0] not in (0., 1.):
+                raise ValueError("can't absorb matrix S next to form "
+                                 f"{fL}, {fR}")
+            TL = psi.get_B(iL, None)
+            if fL[1] == 0.:  # e.g. A-form: does not contain S[b]
+                TL = npc.tensordot(TL, U, axes=[['vR'], ['vL']])
+            else:            # e.g. B-form: T = X.S -> X.U.s = T.VH^dag
+                TL = npc.tensordot(TL, VH.conj(), axes=[['vR'], ['vR*']])
+                TL.ireplace_label('vL*', 'vR')
+            psi.set_B(iL, TL, psi.form[iL])
+            TR = psi.get_B(iR, None)
+            if fR[0] == 0.:  # B-form right neighbor: does not contain S[b]
+                TR = npc.tensordot(VH, TR, axes=[['vR'], ['vL']])
+            else:            # A-form right neighbor: T = S.X -> U^dag.T
+                TR = npc.tensordot(U.conj(), TR, axes=[['vL*'], ['vL']])
+                TR.ireplace_label('vR*', 'vL')
+            psi.set_B(iR, TR, psi.form[iR])
 
     def mixer_cleanup_after_sweep(self):
         if self.mixer is not None:

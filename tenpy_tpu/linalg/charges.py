@@ -56,6 +56,18 @@ class ChargeInfo:
 
     __slots__ = ('mod', 'names', '_hash')
 
+    @classmethod
+    def add(cls, chinfos):
+        """Concatenate several ChargeInfos into one (direct sum of charges).
+
+        Reference: ``tenpy/linalg/charges.py`` same name."""
+        mods = []
+        names = []
+        for ci in chinfos:
+            mods.extend(ci.mod)
+            names.extend(ci.names)
+        return cls(mods, names)
+
     def __init__(self, mod=(), names=None):
         mod = tuple(int(m) for m in mod)
         if any(m < 1 for m in mod):

@@ -2,8 +2,9 @@
 from . import lattice, model
 from . import tf_ising, xxz_chain, spins, spins_nnn, fermions_spinless, hubbard
 from . import tj_model, aklt, clock, pxp, hofstadter, haldane, toric_code
-from . import molecular
+from . import molecular, mixed_xk
 
-__all__ = ['molecular', 'lattice', 'model', 'tf_ising', 'xxz_chain', 'spins', 'spins_nnn',
+__all__ = ['molecular', 'mixed_xk', 'lattice', 'model', 'tf_ising',
+           'xxz_chain', 'spins', 'spins_nnn',
            'fermions_spinless', 'hubbard', 'tj_model', 'aklt', 'clock', 'pxp',
            'hofstadter', 'haldane', 'toric_code']

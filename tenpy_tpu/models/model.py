@@ -316,8 +316,12 @@ class CouplingModel(Model):
                 plus_hc = False  # the MPO adds the h.c. implicitly
             else:
                 strength = np.asarray(strength) / 2.
-        dx = np.asarray(dx, int)
+        dx = np.atleast_1d(np.asarray(dx, int))
+        if len(dx) < self.lat.dim:  # scalar dx on a 1D lattice etc.
+            dx = np.concatenate([dx, np.zeros(self.lat.dim - len(dx), int)])
         mps_i, mps_j, lat_idx, coupling_shape = self.lat.possible_couplings(u1, u2, dx)
+        if min(coupling_shape) == 0:
+            return  # no coupling fits (e.g. dx beyond an open boundary)
         strength = to_array(strength, coupling_shape)
         category = category or f"{op1}_{u1}-{op2}_{u2}-{tuple(dx)}"
         sites = self.lat.mps_sites()
@@ -373,7 +377,13 @@ class CouplingModel(Model):
                 plus_hc = False  # the MPO adds the h.c. implicitly
             else:
                 strength = np.asarray(strength) / 2.
+        ops = [(op,
+                np.concatenate([dx_ := np.atleast_1d(np.asarray(dx, int)),
+                                np.zeros(self.lat.dim - len(dx_), int)]), u)
+               for op, dx, u in ops]
         mps_ijkl, lat_idx, coupling_shape = self.lat.possible_multi_couplings(ops)
+        if min(coupling_shape) == 0:
+            return  # no coupling fits (e.g. dx beyond an open boundary)
         strength = to_array(strength, coupling_shape)
         category = category or 'multi_' + '_'.join(op for op, _, _ in ops)
         sites = self.lat.mps_sites()

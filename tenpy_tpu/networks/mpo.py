@@ -1006,24 +1006,36 @@ class MPOEnvironment(BaseEnvironment):
 
         Reference: ``mpo.py:3065``."""
         if self.ket.finite and i0 == 0:
-            RP = self.get_RP(0)
             LP0 = self.init_LP(0)
             LP = self._contract_LP(0, LP0)
             RP = self.get_RP(0)
-            S_bra = np.conj(np.asarray(self.bra.get_SR(0)))
-            LP = LP.copy(deep=False).iscale_axis(S_bra, 'vR*').iscale_axis(
-                np.asarray(self.ket.get_SR(0)), 'vR')
+            LP = self._scale_S_axis(LP, self.bra.get_SR(0), 'vR*', conj=True)
+            LP = self._scale_S_axis(LP, self.ket.get_SR(0), 'vR', conj=False)
             contr = npc.tensordot(LP, RP, axes=[['vR*', 'wR', 'vR'],
                                                 ['vL*', 'wL', 'vL']])
         else:
             LP = self.get_LP(i0)
             RP = self.get_RP(i0 - 1)
-            S_bra = np.conj(np.asarray(self.bra.get_SL(i0)))
-            LP = LP.copy(deep=False).iscale_axis(S_bra, 'vR*').iscale_axis(
-                np.asarray(self.ket.get_SL(i0)), 'vR')
+            LP = self._scale_S_axis(LP, self.bra.get_SL(i0), 'vR*', conj=True)
+            LP = self._scale_S_axis(LP, self.ket.get_SL(i0), 'vR', conj=False)
             contr = npc.tensordot(LP, RP, axes=[['vR*', 'wR', 'vR'],
                                                 ['vL*', 'wL', 'vL']])
         return complex(contr) * self.bra.norm * self.ket.norm
+
+    @staticmethod
+    def _scale_S_axis(T, S, axis, conj):
+        """Multiply the Schmidt values onto one leg; S may be matrix-valued."""
+        if isinstance(S, npc.Array):
+            if conj:
+                Sc = S.conj()
+                T = npc.tensordot(T, Sc, axes=[[axis], ['vL*']])
+                return T.ireplace_label('vR*', axis)
+            T = npc.tensordot(T, S, axes=[[axis], ['vL']])
+            return T.ireplace_label('vR', axis)
+        arr = np.asarray(S)
+        if conj:
+            arr = np.conj(arr)
+        return T.copy(deep=False).iscale_axis(arr, axis)
 
     def _contract_LHeff(self, LP, A):
         """LP * A for the effective Hamiltonian (combined legs handled by caller)."""

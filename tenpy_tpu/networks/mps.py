@@ -469,12 +469,36 @@ class MPS:
         dL = new_form[0] - old_form[0]
         dR = new_form[1] - old_form[1]
         if dL != 0.:
-            B = B.copy(deep=False).iscale_axis(self._scale_S(self.get_SL(i), dL, cutoff),
-                                               'vL')
+            SL = self.get_SL(i)
+            if isinstance(SL, npc.Array):  # matrix-valued S (mixer bond)
+                B = npc.tensordot(self._matrix_S_pow(SL, dL, cutoff), B,
+                                  axes=[['vR'], ['vL']])
+            else:
+                B = B.copy(deep=False).iscale_axis(
+                    self._scale_S(SL, dL, cutoff), 'vL')
         if dR != 0.:
-            B = B.copy(deep=False).iscale_axis(self._scale_S(self.get_SR(i), dR, cutoff),
-                                               'vR')
+            SR = self.get_SR(i)
+            if isinstance(SR, npc.Array):
+                B = npc.tensordot(B, self._matrix_S_pow(SR, dR, cutoff),
+                                  axes=[['vR'], ['vL']])
+            else:
+                B = B.copy(deep=False).iscale_axis(
+                    self._scale_S(SR, dR, cutoff), 'vR')
         return B
+
+    @staticmethod
+    def _matrix_S_pow(S, exp, cutoff=1e-16):
+        """S or its pseudo-inverse for matrix-valued bond S."""
+        if exp == 1.:
+            return S
+        if exp != -1.:
+            raise ValueError("matrix-valued S: only exponents +-1 supported")
+        U, s, VH = npc.svd(S, inner_labels=['vR', 'vL'])
+        s_inv = 1. / np.where(np.asarray(s) > cutoff, np.asarray(s), 1.)
+        Sinv = npc.tensordot(VH.conj().iscale_axis(s_inv, 'vL*'), U.conj(),
+                             axes=[['vL*'], ['vR*']])
+        Sinv.iset_leg_labels(['vL', 'vR'])
+        return Sinv
 
     @staticmethod
     def _scale_S(S, exp, cutoff=1e-16):
@@ -505,13 +529,16 @@ class MPS:
 
     def set_SL(self, i, S):
         i = self._to_valid_index(i)
-        self._S[i] = np.asarray((S))
+        if not isinstance(S, npc.Array):  # matrix-valued S allowed (mixer)
+            S = np.asarray(S)
+        self._S[i] = S
         if not self.finite and i == 0:
             self._S[self.L] = self._S[0]
 
     def set_SR(self, i, S):
         i = self._to_valid_index(i)
-        S = np.asarray((S))
+        if not isinstance(S, npc.Array):  # matrix-valued S allowed (mixer)
+            S = np.asarray(S)
         if i + 1 <= self.L:
             self._S[i + 1] = S
         if not self.finite and i + 1 == self.L:
@@ -575,7 +602,10 @@ class MPS:
             bonds = range(nt.start, nt.stop)
         res = []
         for ib in bonds:
-            s = np.asarray(self._S[ib if ib <= self.L else ib % self.L])
+            s = self._S[ib if ib <= self.L else ib % self.L]
+            if isinstance(s, npc.Array):  # matrix-valued S: use singular values
+                s = npc.svd(s, compute_uv=False)
+            s = np.asarray(s)
             res.append(entropy(s ** 2, n))
         return np.array(res)
 
@@ -676,6 +706,15 @@ class MPS:
             ops.append(opname)
         val = self.expectation_value_multi_sites(ops, i0)
         return sign * val
+
+    def expectation_value_terms_sum(self, term_list):
+        """Sum of expectation values of a :class:`~tenpy_tpu.networks.terms.TermList`.
+
+        Returns ``(sum, terms)`` with the individual term expectation values.
+        Reference: ``mps.py:1015`` (expectation_value_terms_sum)."""
+        terms = np.array([self.expectation_value_term(t)
+                          for t in term_list.terms], dtype=complex)
+        return np.sum(terms * np.asarray(term_list.strength)), terms
 
     def correlation_function(self, ops1, ops2, sites1=None, sites2=None, opstr=None,
                              str_on_first=True, hermitian=False, autoJW=True):
