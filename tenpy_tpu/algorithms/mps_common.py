@@ -970,10 +970,17 @@ class Sweep(Algorithm):
             S = psi._S[b]
             if not isinstance(S, npc.Array):
                 continue
-            U, s, VH = npc.svd(S, inner_labels=['vR', 'vL'])
+            # drop the numerically-zero directions the mixer injected — they
+            # carry no weight of the state, and exact zeros in the diagonal S
+            # poison later canonicalization (1/S noise amplification)
+            U, s, VH = npc.svd(S, cutoff=1e-14, inner_labels=['vR', 'vL'])
             s = np.asarray(s)
             nrm = np.linalg.norm(s)
-            psi._S[b] = s / (nrm if nrm > 0 else 1.)
+            s_diag = s / (nrm if nrm > 0 else 1.)
+            if b == psi.L:  # finite right boundary (unreachable in practice)
+                psi._S[b] = s_diag
+            else:
+                psi.set_SL(b, s_diag)  # maintains the _S[L] alias at b=0
             iL = (b - 1) % psi.L
             iR = b % psi.L
             fL = psi.form[iL]

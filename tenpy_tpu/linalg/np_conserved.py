@@ -832,6 +832,34 @@ class Array:
             return self._data[0].reshape(())
         return np.zeros((), self.dtype)
 
+    def as_completely_blocked(self):
+        """Sort + bunch all legs so each charge sector appears exactly once.
+
+        Returns ``(perms, blocked_array)`` with ``perms[a]`` the flat index
+        permutation applied to leg ``a``.  Needed before per-block operations
+        like :func:`eigvals` when a leg carries duplicate charge sectors.
+        Reference: ``np_conserved.py`` as_completely_blocked."""
+        perms = []
+        need = False
+        legs_new = []
+        for leg in self.legs:
+            if leg.is_sorted() and leg.is_bunched():
+                perms.append(np.arange(leg.ind_len, dtype=np.intp))
+                legs_new.append(leg)
+            else:
+                p, leg2 = leg.sort(bunch=True)
+                perms.append(np.asarray(p, dtype=np.intp))
+                legs_new.append(leg2)
+                need = True
+        if not need:
+            return perms, self
+        arr = np.asarray(self.to_ndarray())
+        arr = arr[np.ix_(*perms)]
+        res = Array.from_ndarray(arr, legs_new, dtype=self.dtype,
+                                 qtotal=self.qtotal)
+        res.iset_leg_labels(self.get_leg_labels())
+        return perms, res
+
     # drop tiny blocks
     def ipurge_zeros(self, cutoff=1e-15, norm_order=None):
         keep_rows = []

@@ -488,7 +488,12 @@ class MPS:
 
     @staticmethod
     def _matrix_S_pow(S, exp, cutoff=1e-16):
-        """S or its pseudo-inverse for matrix-valued bond S."""
+        """S or its pseudo-inverse for matrix-valued bond S.
+
+        Directions with singular value below `cutoff` pass through with factor
+        1 — the same convention as the 1D :meth:`_scale_S` path.  (Projecting
+        them out instead sounds cleaner but empirically corrupts the infinite
+        wrap-bond conversions during mixer-on iDMRG sweeps.)"""
         if exp == 1.:
             return S
         if exp != -1.:
@@ -579,20 +584,38 @@ class MPS:
 
     # ---------------------------------------------------------------- physics
     def norm_test(self):
-        """Check canonical form: deviation of env contractions from identity per site.
+        """Check canonical form: compare single-site theta density matrices
+        against the bond Schmidt values (``rho_L == S_L S_L^dagger`` etc.).
 
+        Unlike checking A/B isometries via form conversion, this needs no
+        division by S, so it stays finite with noise-floor Schmidt values and
+        works with matrix-valued S (mixer bonds).
         Returns array (L, 2) with errors for left/right normalization.
+        Reference: ``mps.py:4430`` (norm_test).
         """
         res = np.empty((self.L, 2))
         for i in range(self.L):
-            A = self.get_B(i, 'A')
-            c = npc.tensordot(A.conj(), A, axes=[['vL*', 'p*'], ['vL', 'p']])
-            e = npc.eye_like(c, 0)
-            res[i, 0] = npc.norm(c - e)
-            B = self.get_B(i, 'B')
-            c = npc.tensordot(B, B.conj(), axes=[['p', 'vR'], ['p*', 'vR*']])
-            e = npc.eye_like(c, 0)
-            res[i, 1] = npc.norm(c - e)
+            th = self.get_theta(i, 1)
+            p = [l for l in th.get_leg_labels() if l not in ('vL', 'vR')]
+            pc = [l + '*' for l in p]
+            rho_L = npc.tensordot(th, th.conj(), axes=[p + ['vR'], pc + ['vR*']])
+            S = self.get_SL(i)
+            if isinstance(S, npc.Array):
+                rho_L2 = npc.tensordot(S, S.conj(), axes=[['vR'], ['vR*']])
+                rho_L2.iset_leg_labels(['vL', 'vL*'])
+            else:
+                rho_L2 = npc.diag(np.asarray(S) ** 2, rho_L.get_leg('vL'),
+                                  dtype=rho_L.dtype, labels=['vL', 'vL*'])
+            res[i, 0] = npc.norm(rho_L - rho_L2)
+            rho_R = npc.tensordot(th, th.conj(), axes=[['vL'] + p, ['vL*'] + pc])
+            S = self.get_SR(i)
+            if isinstance(S, npc.Array):
+                rho_R2 = npc.tensordot(S.conj(), S, axes=[['vL*'], ['vL']])
+                rho_R2.iset_leg_labels(['vR*', 'vR']).itranspose(['vR', 'vR*'])
+            else:
+                rho_R2 = npc.diag(np.asarray(S) ** 2, rho_R.get_leg('vR'),
+                                  dtype=rho_R.dtype, labels=['vR', 'vR*'])
+            res[i, 1] = npc.norm(rho_R - rho_R2)
         return res
 
     def entanglement_entropy(self, n=1, bonds=None, for_matrix_S=False):
@@ -1192,27 +1215,51 @@ class MPS:
         return self
 
     def swap_sites(self, i, swap_op='auto', trunc_par=None):
-        """Swap sites i and i+1. Reference: ``mps.py:5544``."""
+        """Swap sites i and i+1, with fermionic signs for ``swap_op='auto'``.
+
+        Exchanging two fermionic modes commutes their creation operators,
+        giving a sign ``(-1)^(n_i n_j)`` per occupation pair ('autoInv' adds
+        the reflection phases ``(-i)^(n_i+n_j)``, shapourian2017).
+        Reference: ``mps.py:5544``."""
         if trunc_par is None:
             trunc_par = {'chi_max': max(self.chi) if self.chi else 100}
         siteL, siteR = self.sites[self._to_valid_index(i)], \
             self.sites[self._to_valid_index(i + 1)]
-        if swap_op == 'auto':
-            # fermionic sign handling via JW parity
-            fermionic = ('JW' in siteL.need_JW_string.union({'JW'}) and
-                         siteL.charge_to_JW_parity is not None and
-                         np.any(siteL.charge_to_JW_parity))
-            swap_op = None  # default: plain transpose + charge-based signs below
+        if isinstance(swap_op, str):
+            dL, dR = siteL.dim, siteR.dim
+            n_i = np.outer(siteL.JW_exponent, np.ones(dR)).reshape(dL * dR)
+            n_j = np.outer(np.ones(dL), siteR.JW_exponent).reshape(dL * dR)
+            if np.any(n_i * n_j):
+                if swap_op == 'auto':
+                    diag = (-1.) ** (n_i * n_j)
+                elif swap_op == 'autoInv':
+                    diag = (-1.) ** (n_i * n_j) * (-1.j) ** n_i * (-1.j) ** n_j
+                else:
+                    raise ValueError(f"unknown swap_op {swap_op!r}")
+                legs = [siteL.leg, siteR.leg,
+                        siteL.leg.conj(), siteR.leg.conj()]
+                swap_op = npc.Array.from_ndarray(
+                    np.diag(diag).reshape([dL, dR, dL, dR]), legs)
+                swap_op.iset_leg_labels(['p1', 'p0', 'p0*', 'p1*'])
+            else:  # bosonic: plain transposition
+                swap_op = None
         theta = self.get_theta(i, 2)
         C = self.get_theta(i, 2, formL=0.)  # no SL on left
-        theta.ireplace_labels(['p0', 'p1'], ['p1', 'p0'])  # swap physical legs
-        C.ireplace_labels(['p0', 'p1'], ['p1', 'p0'])
+        if swap_op is None:
+            theta.ireplace_labels(['p0', 'p1'], ['p1', 'p0'])  # swap legs
+            C.ireplace_labels(['p0', 'p1'], ['p1', 'p0'])
+        else:
+            theta = npc.tensordot(swap_op, theta,
+                                  axes=[['p0*', 'p1*'], ['p0', 'p1']])
+            C = npc.tensordot(swap_op, C, axes=[['p0*', 'p1*'], ['p0', 'p1']])
+        theta.itranspose(['vL', 'p0', 'p1', 'vR'])
+        C.itranspose(['vL', 'p0', 'p1', 'vR'])
         theta = theta.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
         U, S, VH, err, renorm = svd_theta(theta, trunc_par,
                                           inner_labels=['vR', 'vL'])
-        B_R = VH.split_legs([1]).ireplace_label('p1', 'p')
+        B_R = VH.split_legs(['(p1.vR)']).ireplace_label('p1', 'p')
         B_L = npc.tensordot(C.combine_legs([['p1', 'vR']], qconj=[-1]), VH.conj(),
-                            axes=[[1], [1]])
+                            axes=[['(p1.vR)'], ['(p1*.vR*)']])
         B_L.ireplace_labels(['p0', 'vL*'], ['p', 'vR'])
         B_L.itranspose(['vL', 'p', 'vR'])
         B_L = B_L / renorm
@@ -1238,6 +1285,51 @@ class MPS:
                     trunc_err += self.swap_sites(b, swap_op, trunc_par)
                     pos[b], pos[b + 1] = pos[b + 1], pos[b]
         return trunc_err
+
+    def compute_K(self, perm, swap_op='auto', trunc_par=None,
+                  canonicalize=1e-6, expected_mean_k=0.):
+        r"""Momentum quantum numbers of the entanglement spectrum (2D cylinders).
+
+        Permutes a copy of `self` by one lattice vector around the cylinder
+        and extracts the dominant left eigenvector of the mixed transfer
+        matrix; its eigenvalues are ``W = S^2 exp(i K)`` (pollmann2012,
+        cincio2013).  Returns ``(U, W, q, ov, trunc_err)``.
+        Reference: ``tenpy/networks/mps.py:5743``.
+        """
+        from ..models.lattice import Lattice
+        if self.finite:
+            raise ValueError("compute_K works only for infinite bc")
+        if isinstance(perm, Lattice):
+            lat = perm
+            assert lat.dim >= 2 and lat.N_sites == self.L
+            shifted = lat.order.copy()
+            shifted[:, 1] = np.mod(shifted[:, 1] + 1, lat.Ls[1])
+            perm = lat.lat2mps_idx(shifted)
+        self.convert_form('B')
+        if np.linalg.norm(self.norm_test()) > canonicalize:
+            warnings.warn("compute_K: psi not canonical, canonicalize")
+            self.canonical_form()
+        psi_t = self.copy()
+        perm = np.asarray(perm)
+        trunc_err = psi_t.permute_sites(perm, swap_op, trunc_par)
+        psi_t.convert_form('B')
+        TM = TransferMatrix(self, psi_t, transpose=True, charge_sector=0)
+        ov, sUs = TM.eigenvectors(num_ev=self._transfermatrix_keep)
+        if np.abs(ov[0]) < 0.9:
+            warnings.warn("compute_K: psi is not an eigenvector of the "
+                          f"y-translation; |ov| = {abs(ov[0]):.3e}")
+        sUs = sUs[0]
+        _, sUs_b = sUs.as_completely_blocked()
+        W = np.asarray(npc.eigvals(sUs_b, sort='m>'))
+        W = W / np.sum(np.abs(W))  # sum(S^2) == 1 fixes the scaling
+        mean_exp_ik = np.sum(W)
+        if np.abs(mean_exp_ik) > 1e-5:  # fix the eigenvector's overall phase
+            W *= np.exp(1.j * expected_mean_k) * np.conj(mean_exp_ik) \
+                / np.abs(mean_exp_ik)
+        inv_S = 1. / np.asarray(self.get_SL(0))
+        U = sUs.scale_axis(inv_S, 0).iscale_axis(inv_S, 1)
+        U *= np.sqrt(U.shape[0]) / npc.norm(U)
+        return U, W, sUs_b.legs[0], complex(ov[0]), trunc_err
 
     def enlarge_mps_unit_cell(self, factor=2):
         """Repeat the unit cell `factor` times (infinite bc)."""

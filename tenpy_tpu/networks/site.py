@@ -255,6 +255,16 @@ class Site:
             hc_names.append(self.hc_ops[n])
         return ' '.join(hc_names)
 
+    @property
+    def JW_exponent(self):
+        """Exponents n with ``diag(JW) = exp(i pi n)`` (fermion parity per state).
+
+        Reference: ``tenpy/networks/site.py:92``."""
+        if not self.valid_opname('JW'):
+            return np.zeros(self.dim)
+        diag = np.diag(self.get_op('JW').to_ndarray())
+        return np.real_if_close(np.angle(np.real_if_close(diag)) / np.pi)
+
     def op_needs_JW(self, name):
         names = str(name).split()
         need = False

@@ -256,14 +256,31 @@ class UniformMPS(MPS):
     # ------------------------------------------------------------- conversion
     @classmethod
     def from_MPS(cls, psi):
-        """Infinite MPS -> UniformMPS. Reference: ``uniform_mps.py:427``."""
+        """Infinite MPS -> UniformMPS.
+
+        ``AR`` and ``AC`` come from multiply-only form conversions; ``AL`` is
+        solved inverse-free from ``AC = AL C`` via a polar decomposition
+        (``AL = UV^H`` of ``AC C^dagger``), so Schmidt values at the numerical
+        noise floor never get divided by.  Reference: ``uniform_mps.py:427``.
+        """
         assert not psi.finite
-        AR = [psi.get_B(i, 'B', copy=True).itranspose(cls._B_labels)
-              for i in range(psi.L)]
         AC = [psi.get_B(i, 'Th', copy=True).itranspose(cls._B_labels)
               for i in range(psi.L)]
-        AL = [psi.get_B(i, 'A', copy=True).itranspose(cls._B_labels)
-              for i in range(psi.L)]
+        AL = []
+        AR = []
+        for i in range(psi.L):
+            SR = np.asarray(psi.get_SR(i))
+            M = AC[i].scale_axis(SR, 'vR')  # = AC C^dagger (C diagonal, real)
+            M = M.combine_legs([['vL', 'p']], qconj=[+1])
+            W, _, VH = npc.svd(M, inner_labels=['vR', 'vL'])
+            ALi = npc.tensordot(W, VH, axes=[['vR'], ['vL']])
+            AL.append(ALi.split_legs(['(vL.p)']).itranspose(cls._B_labels))
+            SL = np.asarray(psi.get_SL(i))
+            M = AC[i].scale_axis(SL, 'vL')  # = C^dagger AC
+            M = M.combine_legs([['p', 'vR']], qconj=[-1])
+            W, _, VH = npc.svd(M, inner_labels=['vR', 'vL'])
+            ARi = npc.tensordot(W, VH, axes=[['vR'], ['vL']])
+            AR.append(ARi.split_legs(['(p.vR)']).itranspose(cls._B_labels))
         Cs = []
         for i in range(psi.L):
             S = np.asarray(psi.get_SL(i))

@@ -155,3 +155,57 @@ def test_spatial_inversion():
     psi.spatial_inversion()
     assert np.allclose(psi.expectation_value('Sz'), sz0[::-1])
     psi.test_sanity()
+
+
+def test_compute_K():
+    """Entanglement-spectrum momenta on a TFI Ly=3 cylinder: K must be
+    multiples of 2 pi / 3 and |W| must reproduce the Schmidt values squared."""
+    from tenpy_tpu.models.tf_ising import TFIModel
+    from tenpy_tpu.algorithms import dmrg
+    model = TFIModel({'lattice': 'Square', 'Lx': 1, 'Ly': 3,
+                      'bc_y': 'cylinder', 'bc_MPS': 'infinite',
+                      'J': 1., 'g': 3., 'conserve': None})
+    psi = MPS.from_product_state(model.lat.mps_sites(), ['up'] * 3,
+                                 bc='infinite')
+    dmrg.run(psi, model, {'trunc_params': {'chi_max': 16, 'svd_min': 1e-8},
+                          'max_sweeps': 30, 'mixer': True})
+    U, W, q, ov, err = psi.compute_K(model.lat)
+    assert abs(abs(ov) - 1.) < 1e-6
+    S2 = np.sort(np.asarray(psi.get_SL(0))**2)[::-1]
+    absW = np.sort(np.abs(W))[::-1]
+    assert np.max(np.abs(absW - S2)) < 1e-6
+    # momenta quantized in units of 2 pi / Ly (check the dominant ones)
+    big = np.abs(W) > 1e-4
+    k3 = np.angle(W[big]) * 3 / (2 * np.pi)  # should be integers
+    assert np.max(np.abs(k3 - np.round(k3))) < 1e-3
+    # a translation-invariant product state: trivial spectrum
+    psi2 = MPS.from_product_state(model.lat.mps_sites(), ['up'] * 3,
+                                  bc='infinite')
+    _, W2, _, ov2, _ = psi2.compute_K(model.lat)
+    assert abs(abs(ov2) - 1.) < 1e-10
+    assert np.allclose(W2, [1.])
+
+
+def test_swap_sites_fermionic_sign():
+    """Fermionic swap carries the (-1)^(n_i n_j) sign: a superposition with a
+    doubly-occupied pair flips its relative sign under the swap."""
+    from tenpy_tpu.networks.site import FermionSite
+    fs = FermionSite(conserve='N')
+    psi_1100 = MPS.from_product_state([fs] * 4,
+                                      ['full', 'full', 'empty', 'empty'])
+    psi_0110 = MPS.from_product_state([fs] * 4,
+                                      ['empty', 'full', 'full', 'empty'])
+    psi_1010 = MPS.from_product_state([fs] * 4,
+                                      ['full', 'empty', 'full', 'empty'])
+    # superposition  (|1100> + |0110>)/sqrt(2)
+    psi = psi_1100.add(psi_0110, 1. / np.sqrt(2), 1. / np.sqrt(2))
+    psi.canonical_form()
+    psi.swap_sites(1, swap_op='auto')
+    # swap(1,2): |1100> -> +|1010> (one particle moves),
+    #            |0110> -> -|0110> (both sites occupied: sign -1)
+    assert abs(complex(psi.overlap(psi_1010)) - 1. / np.sqrt(2)) < 1e-10
+    assert abs(complex(psi.overlap(psi_0110)) + 1. / np.sqrt(2)) < 1e-10
+    # double swap restores the state exactly (sign squared = 1)
+    psi.swap_sites(1, swap_op='auto')
+    assert abs(complex(psi.overlap(psi_1100)) - 1. / np.sqrt(2)) < 1e-10
+    assert abs(complex(psi.overlap(psi_0110)) - 1. / np.sqrt(2)) < 1e-10
