@@ -170,6 +170,13 @@ class DMRGEngine(IterativeSweeps):
     def post_run_cleanup(self):
         """Canonicalize if the norm error got too large. Reference: ``dmrg.py:402``."""
         super().post_run_cleanup()
+        if self.psi.bc == 'segment':
+            # the sweeps keep the state canonical by construction; norm_test
+            # flags the boundary bonds (ground-state Schmidt values vs the
+            # excited state's actual boundary density matrix), and a full
+            # canonical_form would destroy the embedding into the infinite
+            # environments.
+            return
         norm_tol = self.options.get('norm_tol', 1e-5, 'real')
         norm_err = np.linalg.norm(self.psi.norm_test())
         if norm_err > norm_tol:

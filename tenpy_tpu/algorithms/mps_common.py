@@ -870,8 +870,11 @@ class Sweep(Algorithm):
             theta = npc.tensordot(theta, RP, axes=[['vR'], ['vL']])
             theta.ireplace_labels(['vR*', 'vL*'], ['vL', 'vR'])
             theta = self.eff_H.combine_theta(theta)
+            if float(npc.norm(theta)) < 1e-30:
+                continue  # e.g. ortho state in a different charge sector
             ortho_vecs.append(theta)
-        self.eff_H = OrthogonalNpcLinearOperator(self.eff_H, ortho_vecs)
+        if ortho_vecs:
+            self.eff_H = OrthogonalNpcLinearOperator(self.eff_H, ortho_vecs)
 
     def update_local(self, theta, optimize=True):
         raise NotImplementedError

@@ -140,6 +140,9 @@ class OrthogonalNpcLinearOperator(BoostNpcLinearOperator):
     def _project(self, vec):
         from .krylov_based import _v_axpy, _v_inner
         for o in self.ortho_vecs:
+            if isinstance(o, npc.Array) and isinstance(vec, npc.Array) and \
+                    not np.array_equal(o.qtotal, vec.qtotal):
+                continue  # different charge sector: <o|vec> = 0 identically
             vec = _v_axpy(-_v_inner(o, vec), o, vec)
         return vec
 

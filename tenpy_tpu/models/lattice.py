@@ -389,9 +389,39 @@ class Lattice:
             Ls, self.unit_cell, self._order_name, self.boundary_conditions,
             self.bc_MPS, self.basis, self.position_vectors, self.pairs)
 
-    def extract_segment(self, first=0, last=None):
-        """Segment sub-lattice (for segment bc). Reference: ``:585``."""
-        raise NotImplementedError("segment extraction: later round")
+    def extract_segment(self, first=0, last=None, enlarge=None):
+        """Lattice for a finite segment of an infinite system.
+
+        Either give ``enlarge`` (segment = that many MPS unit cells) or
+        ``first=0, last=n*L-1``.  Partial-unit-cell segments would need an
+        irregular lattice and are not supported.
+        Returns a copy with ``bc_MPS='segment'`` and ``segment_first_last``.
+        Reference: ``tenpy/models/lattice.py:585``.
+        """
+        import copy as _copy
+        L = self.N_sites
+        if enlarge is not None:
+            if self.bc_MPS != 'infinite':
+                raise ValueError("enlarge only possible for infinite MPS")
+            if last is not None or first != 0:
+                raise ValueError("specify either first+last or enlarge")
+            assert enlarge > 0
+            last = enlarge * L - 1
+        elif last is None:
+            last = L - 1
+            enlarge = 1
+        else:
+            enlarge = last // L + 1
+        if first != 0 or (last + 1) % L != 0:
+            raise NotImplementedError("partial-unit-cell segments need an "
+                                      "irregular lattice (round-2 item)")
+        if enlarge > 1:
+            cp = self.enlarge_mps_unit_cell(enlarge)
+        else:
+            cp = _copy.copy(self)
+        cp.bc_MPS = 'segment'
+        cp.segment_first_last = (first, last)
+        return cp
 
     def test_sanity(self):
         assert len(self._order) == self.N_sites

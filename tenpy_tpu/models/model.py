@@ -69,8 +69,13 @@ class Model:
         n_sec = max(site.leg.block_number, 1)
         return float(n_sec)
 
-    def extract_segment(self, *args, **kwargs):
-        raise NotImplementedError("segment bc: later round")
+    def extract_segment(self, first=0, last=None, enlarge=None):
+        """Shallow copy with lattice (and H, in subclasses) on a segment.
+
+        Reference: ``tenpy/models/model.py:167``."""
+        cp = self.copy()
+        cp.lat = self.lat.extract_segment(first, last, enlarge)
+        return cp
 
 
 class NearestNeighborModel(Model):
@@ -82,6 +87,13 @@ class NearestNeighborModel(Model):
     def __init__(self, lattice, H_bond):
         Model.__init__(self, lattice)
         self.H_bond = list(H_bond)
+
+    def extract_segment(self, first=0, last=None, enlarge=None):
+        cp = super().extract_segment(first, last, enlarge)
+        first, last = cp.lat.segment_first_last
+        L = len(self.H_bond)
+        cp.H_bond = [self.H_bond[i % L] for i in range(first, last + 1)]
+        return cp
 
     @classmethod
     def from_MPOModel(cls, mpo_model):
@@ -143,6 +155,12 @@ class MPOModel(Model):
     def __init__(self, lattice, H_MPO):
         Model.__init__(self, lattice)
         self.H_MPO = H_MPO
+
+    def extract_segment(self, first=0, last=None, enlarge=None):
+        cp = super().extract_segment(first, last, enlarge)
+        first, last = cp.lat.segment_first_last
+        cp.H_MPO = self.H_MPO.extract_segment(first, last)
+        return cp
 
     def calc_H_bond_from_MPO(self, tol_zero=1e-15):
         """Extract nearest-neighbor bond terms from the MPO (max_range <= 1 only).

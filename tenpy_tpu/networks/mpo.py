@@ -89,13 +89,28 @@ class MPO:
 
     @property
     def finite(self):
-        return self.bc == 'finite'
+        """True for 'finite' and 'segment' bc, False for 'infinite'."""
+        return self.bc != 'infinite'
 
     @property
     def chi(self):
         """MPO bond dimensions."""
         return [W.get_leg('wL').ind_len for W in self._W] + \
             [self._W[-1].get_leg('wR').ind_len]
+
+    def extract_segment(self, first, last):
+        """Copy of self on sites [first, last] with 'segment' bc.
+
+        Reference: ``tenpy/networks/mpo.py:873``."""
+        L = self.L
+        sites = [self.sites[i % L] for i in range(first, last + 1)]
+        Ws = [self.get_W(i, copy=True) for i in range(first, last + 1)]
+        IdL = [self.IdL[i % L] for i in range(first, last + 1)]
+        IdL.append(self.IdL[(last % L) + 1])
+        IdR = [self.IdR[i % L] for i in range(first, last + 1)]
+        IdR.append(self.IdR[(last % L) + 1])
+        return self.__class__(sites, Ws, 'segment', IdL, IdR, self.max_range,
+                              self.explicit_plus_hc)
 
     def test_sanity(self):
         assert len(self._W) == self.L

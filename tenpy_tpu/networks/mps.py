@@ -116,7 +116,8 @@ class MPS:
 
     @property
     def finite(self):
-        return self.bc == 'finite'
+        """True for 'finite' and 'segment' bc, False for 'infinite'."""
+        return self.bc != 'infinite'
 
     @property
     def chi(self):

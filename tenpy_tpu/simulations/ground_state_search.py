@@ -7,9 +7,11 @@ PlaneWaveExcitations :80, OrthogonalExcitations :275).
 reference-layout parity).  The excitation drivers:
 
 * :class:`OrthogonalExcitations` — repeated DMRG runs, each orthogonalized
-  against the ground state and all previously found excitations (finite
-  systems; the reference's segment-boundary machinery for infinite systems is
-  a round-2 item, see TODO.md).
+  against the ground state and all previously found excitations.  Finite
+  ground states are used directly; infinite ground states are handled on a
+  finite segment embedded in the infinite MPO environments (the
+  MPOTransferMatrix fixed point), so excitation energies come out relative to
+  the infinite ground state.
 * :class:`PlaneWaveExcitations` — momentum-resolved quasiparticle excitations
   on a uniform MPS via :class:`~tenpy_tpu.algorithms.plane_wave_excitation.
   PlaneWaveExcitationEngine`.
@@ -34,12 +36,22 @@ __all__ = ['GroundStateSearch', 'OrthogonalExcitations', 'PlaneWaveExcitations']
 class OrthogonalExcitations(GroundStateSearch):
     """Excited states via repeated orthogonalized ground-state searches.
 
+    For a **finite** ground state, each excitation is found by DMRG
+    orthogonalized against the ground state and previously found excitations.
+
+    For an **infinite** ground state, the search runs on a finite *segment*
+    embedded in the infinite environments (reference ground_state_search.py
+    :275): the model/MPS are extracted with ``segment_enlarge`` unit cells and
+    the MPO environments are initialized from the
+    :class:`~tenpy_tpu.networks.mpo.MPOTransferMatrix` fixed point, so
+    excitation energies are measured relative to the infinite ground state.
+
     Options (on top of :class:`GroundStateSearch`): ``N_excitations`` (1),
     ``ground_state_filename`` | constructor kwarg ``ground_state_data``,
-    ``initial_state_params`` for each excitation run (defaults to a perturbed
-    copy of the ground state via InitialStateBuilder if given, else the ground
-    state itself as the initial guess).
-    Reference: ``tenpy/simulations/ground_state_search.py:275`` (finite case).
+    ``segment_enlarge`` (int, infinite case; default 2),
+    ``apply_local_op`` (dict ``{'i': int, 'op': str}``, optional perturbation
+    defining the initial guess — e.g. a spin flip; also useful to change the
+    charge sector), ``initial_state_params`` for each excitation run.
     """
 
     def __init__(self, options, *, orthogonal_to=None, ground_state_data=None,
@@ -51,6 +63,7 @@ class OrthogonalExcitations(GroundStateSearch):
         if self.options.get('save_psi', True, bool):
             self.results['excitations'] = self.excitations
         self._gs_data = ground_state_data
+        self.init_env_data = {}
 
     def init_state(self):
         if self.orthogonal_to is None:
@@ -68,12 +81,25 @@ class OrthogonalExcitations(GroundStateSearch):
                 self.orthogonal_to = []
                 return
         if not self.ground_state.finite:
-            raise NotImplementedError(
-                "OrthogonalExcitations: infinite ground states need segment "
-                "boundary conditions (round-2 item, see TODO.md)")
+            self._extract_segment()
         self.psi = self._initial_guess()
         if self.options.get('save_psi', True, bool):
             self.results['psi'] = self.psi
+
+    def _extract_segment(self):
+        """Infinite GS -> segment GS + fixed-point MPO environments."""
+        from ..networks.mpo import MPOTransferMatrix
+        psi0_inf = self.ground_state
+        enlarge = self.options.get('segment_enlarge', 2, int)
+        env_data, Es, _ = MPOTransferMatrix.find_init_LP_RP(
+            self.model.H_MPO, psi0_inf, calc_E=True)
+        self.results['ground_state_energy_density'] = float(np.real(Es[0]))
+        self.model_inf = self.model
+        self.model = self.model.extract_segment(enlarge=enlarge)
+        first, last = self.model.lat.segment_first_last
+        self.ground_state = psi0_inf.extract_segment(first, last)
+        self.init_env_data = env_data
+        self.orthogonal_to = [self.ground_state]
 
     def _initial_guess(self):
         params = self.options.subconfig('initial_state_params')
@@ -81,16 +107,24 @@ class OrthogonalExcitations(GroundStateSearch):
             from ..networks.mps import InitialStateBuilder
             builder = InitialStateBuilder(self.model.lat, params)
             return builder.run()
+        psi = self.ground_state.copy()
+        local_op = self.options.get('apply_local_op', None)
+        if local_op is not None:
+            psi.apply_local_op(local_op['i'], local_op['op'],
+                               unitary=False, renormalize=True)
+            if psi.bc != 'segment':  # segment canonicalization would break
+                psi.canonical_form()  # the embedding (see TODO.md)
+            return psi
         # a copy of the ground state is (nearly) parallel to the projected-out
         # states: the orthogonalized eigensolve would start from ~zero.
         # Perturb with identity-close random two-site unitaries instead.
         from ..algorithms.tebd import RandomUnitaryEvolution
-        psi = self.ground_state.copy()
         RandomUnitaryEvolution(psi, {
             'N_steps': 2, 'close_1': True,
             'trunc_params': {'chi_max': max(max(psi.chi), 8),
                              'svd_min': 1e-12}}).run()
-        psi.canonical_form()
+        if psi.bc != 'segment':
+            psi.canonical_form()
         return psi
 
     def init_algorithm(self, **kwargs):
@@ -98,8 +132,11 @@ class OrthogonalExcitations(GroundStateSearch):
         alg_name = self.options.get('algorithm_class', self.default_algorithm)
         AlgClass = find_subclass(Algorithm, alg_name)
         params = self.options.subconfig('algorithm_params')
+        resume_data = {'init_env_data': dict(self.init_env_data)} \
+            if self.init_env_data else None
         self.engine = AlgClass(self.psi, self.model, params,
-                               orthogonal_to=list(self.orthogonal_to))
+                               orthogonal_to=list(self.orthogonal_to),
+                               resume_data=resume_data)
         self.engine.checkpoint.connect(self.save_at_checkpoint)
 
     def run_algorithm(self):
@@ -115,8 +152,17 @@ class OrthogonalExcitations(GroundStateSearch):
         else:
             E0 = self.options.get('ground_state_energy', None, 'real')
             if E0 is None:
-                E0 = float(np.real(
-                    self.model.H_MPO.expectation_value(self.ground_state)))
+                if self.init_env_data:
+                    # segment: energy includes the infinite-environment
+                    # constants; they cancel in E_exc - E0.
+                    from ..networks.mpo import MPOEnvironment
+                    env = MPOEnvironment(self.ground_state, self.model.H_MPO,
+                                         self.ground_state,
+                                         **dict(self.init_env_data))
+                    E0 = float(np.real(env.full_contraction(1)))
+                else:
+                    E0 = float(np.real(
+                        self.model.H_MPO.expectation_value(self.ground_state)))
             self.results.setdefault('ground_state_energy', E0)
         while len(self.excitations) < N:
             self.psi = self._initial_guess()
