@@ -15,6 +15,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 jax.config.update('jax_enable_x64', True)
+if os.environ.get('BENCH_PLATFORM'):  # 'cpu' etc.; the axon plugin ignores
+    jax.config.update('jax_platforms', os.environ['BENCH_PLATFORM'])  # JAX_PLATFORMS
 
 import numpy as np
 from tenpy_tpu.models.spins import SpinChain
@@ -38,6 +40,7 @@ def main():
     eng = TwoSiteDMRGEngine(psi, m, {
         'trunc_params': {'chi_max': chi, 'svd_min': 1e-10},
         'chi_list': chi_list, 'mixer': True, 'max_sweeps': 1000,
+        'mixer_params': {'disable_after': n_ramp - 1},  # off in timed sweeps
         'lanczos_params': {'N_min': 10, 'N_max': 10},
     })
     t0 = time.perf_counter()

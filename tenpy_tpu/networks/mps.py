@@ -997,6 +997,14 @@ class MPS:
         assert self.bc == 'infinite'
         L = self.L
         p_label = list(getattr(self, '_p_label', ['p']))
+        if all(f is not None for f in self.form) and \
+                not any(isinstance(s, npc.Array) for s in self._S):
+            # idempotence: an already-canonical state stays untouched.  (The
+            # gauge iteration can cycle indefinitely between equivalent gauges
+            # when the Schmidt spectrum has exact degeneracies, so entering it
+            # needlessly risks spurious non-convergence.)
+            if float(np.max(self.norm_test())) < 1e-12:
+                return self
         Ms = self._stripped_tensors(pinv_cutoff=1e-8)
         if all(f is not None for f in self.form):
             # Sanity of the B-chain: Schmidt directions at the numerical noise

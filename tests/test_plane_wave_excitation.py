@@ -52,3 +52,36 @@ def test_tfi_dispersion():
         expect = min(eps_exact(k), eps_exact(k + np.pi))
         assert abs(float(np.real(Es[0])) - expect) < 1e-8, (k, Es[0], expect)
         assert psis[0].L == 2
+
+
+def test_multi_site_plane_wave_excitations():
+    """Multi-site engine: size=1 must equal the single-site engine, and the
+    size=2 ansatz contains it, all matching the exact TFI dispersion."""
+    from tenpy_tpu.algorithms.plane_wave_excitation import \
+        MultiSitePlaneWaveExcitationEngine
+    g = 1.5
+    m = TFIChain({'L': 2, 'J': 1., 'g': g, 'bc_MPS': 'infinite',
+                  'conserve': None})
+    psi = MPS.from_product_state(m.lat.mps_sites(), ['up', 'up'],
+                                 bc='infinite')
+    dmrg.run(psi, m, {'trunc_params': {'chi_max': 16, 'svd_min': 1e-12},
+                      'max_sweeps': 40, 'mixer': True})
+    psi.canonical_form()
+
+    def eps_exact(k):
+        return 2 * np.sqrt(1 + g ** 2 - 2 * g * np.cos(k))
+
+    for k in [0., np.pi / 2]:
+        e1 = PlaneWaveExcitationEngine(psi, m,
+                                       {'lanczos_params': {'N_max': 40}})
+        E_1site = float(np.real(e1.run(k)[0][0]))
+        for size in (1, 2):
+            ms = MultiSitePlaneWaveExcitationEngine(
+                psi, m, {'excitation_size': size,
+                         'lanczos_params': {'N_max': 40}})
+            Es, psis, N = ms.run(k)
+            E = float(np.real(Es[0]))
+            assert abs(E - E_1site) < 1e-7, (k, size, E, E_1site)
+            expect = min(eps_exact(k), eps_exact(k + np.pi))
+            assert abs(E - expect) < 1e-7
+            assert psis[0].n_sites == size
