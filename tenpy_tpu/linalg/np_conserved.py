@@ -1227,12 +1227,20 @@ def _native_gemm():
     return _native_gemm_runner
 
 
+# When set (by tenpy_tpu.parallel.sharded_matvec.sharded), tensordot plans execute
+# with their GEMM-bucket batch dimension sharded over this jax Mesh (shard_map+psum).
+_SHARDED_MESH = None
+
+
 def _execute_plan(plan, a_data, b_data, dtype, n_axes, ka, ra, rb):
     """Run the batched GEMM groups of a plan over concrete block data.
 
     On the jit path this lowers to shape-bucketed batched matmuls on the MXU; on the
     host path it runs the same batches through numpy BLAS (no XLA dispatch).
     """
+    if _SHARDED_MESH is not None:
+        from ..parallel.sharded_matvec import _execute_plan_sharded
+        return _execute_plan_sharded(plan, a_data, b_data, dtype, _SHARDED_MESH)
     use_jax = _use_jnp(*a_data, *b_data)
     if not use_jax:
         # Host path: direct per-block BLAS GEMMs accumulated into the outputs.

@@ -21,7 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from functools import partial
 
 __all__ = ['dense_tfi_gates', 'tebd_step_sharded', 'make_dense_state',
@@ -29,21 +32,34 @@ __all__ = ['dense_tfi_gates', 'tebd_step_sharded', 'make_dense_state',
 
 
 def dense_tfi_gates(dt, J=1., g=1.0, d=2):
-    """exp(-dt h_bond) for the TFI chain as a (d*d, d*d) gate (imaginary time)."""
+    """exp(-dt h_bond) for the TFI chain as a (d, d, d, d) gate (imaginary time).
+
+    Returned as host numpy so callers control device placement (the dry-run
+    must not touch the default accelerator device).
+    """
     import scipy.linalg
     sx = np.array([[0., 1.], [1., 0.]])
     sz = np.array([[1., 0.], [0., -1.]])
     h = -J * np.kron(sx, sx) - g * 0.5 * (np.kron(sz, np.eye(2)) +
                                           np.kron(np.eye(2), sz))
     U = scipy.linalg.expm(-dt * h)
-    return jnp.asarray(U.reshape(d, d, d, d))
+    return U.reshape(d, d, d, d)
 
 
-def make_dense_state(L, chi, d=2, seed=0):
-    """Stacked MPS tensors (L, chi, d, chi), right-canonical-ish random init."""
+def make_dense_state(L, chi, d=2, seed=0, mesh=None):
+    """Stacked MPS tensors (L, chi, d, chi), right-canonical-ish random init.
+
+    With ``mesh`` given, the result is placed sharded over the mesh's first axis
+    (site-axis sharding); otherwise host numpy is returned.  Never touches the
+    default device — critical when the ambient default backend is unusable.
+    """
     rng = np.random.default_rng(seed)
     Bs = rng.normal(size=(L, chi, d, chi)) / np.sqrt(chi * d)
-    return jnp.asarray(Bs)
+    if mesh is None:
+        return Bs
+    from jax.sharding import NamedSharding
+    spec = P(mesh.axis_names[0])
+    return jax.device_put(Bs, NamedSharding(mesh, spec))
 
 
 def _truncated_svd(theta, chi):
