@@ -80,8 +80,10 @@ class DMRGEngine(IterativeSweeps):
     def reset_stats(self, resume_data=None):
         super().reset_stats(resume_data)
         self.E_trunc_list = []
-        self.update_stats = {'i0': [], 'age': [], 'E_total': [], 'N_lanczos': [],
-                             'time': [], 'err': [], 'ov_change': []}
+        self._meas_E_trunc = False
+        self.update_stats = {'i0': [], 'age': [], 'E_total': [], 'E_trunc': [],
+                             'N_lanczos': [], 'time': [], 'err': [],
+                             'ov_change': []}
         self.sweep_stats = {'sweep': [], 'N_updates': [], 'E': [], 'Delta_E': [],
                             'S': [], 'Delta_S': [], 'max_S': [], 'time': [],
                             'max_trunc_err': [], 'max_E_trunc': [], 'max_chi': [],
@@ -106,7 +108,11 @@ class DMRGEngine(IterativeSweeps):
         self.E_trunc_list = []
         for _ in range(N_sweeps_check - 1):
             self.sweep()
-        max_trunc_err = self.sweep()
+        self._meas_E_trunc = True   # measure E after truncation on the last sweep
+        try:
+            max_trunc_err = self.sweep()
+        finally:
+            self._meas_E_trunc = False
         # adapt Lanczos tolerance to the truncation level
         if p_tol_to_trunc is not None and max_trunc_err > p_tol_min:
             P_tol = max(p_tol_min, min(p_tol_max, max_trunc_err * p_tol_to_trunc))
@@ -215,15 +221,28 @@ class DMRGEngine(IterativeSweeps):
     def post_update_local(self, E0, age, N, ov_change, err, **update_data):
         self.trunc_err_list.append(err.eps)
         E_trunc = None
-        if E0 is not None:
-            self.update_stats['i0'].append(self.i0)
-            self.update_stats['age'].append(age)
-            self.update_stats['E_total'].append(E0)
-            self.update_stats['N_lanczos'].append(N)
-            self.update_stats['ov_change'].append(ov_change)
-            self.update_stats['err'].append(err)
-            self.update_stats['time'].append(time.time() - self.time0)
-        self.E_trunc_list.append(0. if E0 is None else 0.)
+        meas = self._meas_E_trunc and getattr(self, 'mixer', None) is None
+        if meas or E0 is None:
+            # energy of the *truncated* state, from the freshly updated envs —
+            # max_E_trunc then reflects truncation-induced energy error
+            # (reference ``dmrg.py:575``).  Skipped while a mixer is active:
+            # the bond then carries a non-diagonal matrix S and the mid-sweep
+            # state is not in canonical form.
+            i = self.i0 if (self.n_optimize == 2 or self.move_right) \
+                else self.i0 - 1
+            E_trunc = float(np.real(self.env.full_contraction(i)))
+            if E0 is None:
+                E0 = E_trunc
+            E_trunc = E_trunc - E0
+        self.update_stats['i0'].append(self.i0)
+        self.update_stats['age'].append(age)
+        self.update_stats['E_total'].append(E0)
+        self.update_stats['E_trunc'].append(E_trunc)
+        self.update_stats['N_lanczos'].append(N)
+        self.update_stats['ov_change'].append(ov_change)
+        self.update_stats['err'].append(err)
+        self.update_stats['time'].append(time.time() - self.time0)
+        self.E_trunc_list.append(0. if E_trunc is None else E_trunc)
 
     def diag(self, theta_guess):
         """Diagonalize the effective Hamiltonian. Reference: ``dmrg.py:672``.

@@ -904,10 +904,21 @@ class Sweep(Algorithm):
         # Infinite bc: keep them -- iDMRG environments intentionally 'age' towards the
         # fixed point, reusing previous-iteration tensors (reference dmrg.py iDMRG).
         if self.finite:
+            lo_LP = i0 + 1            # del_LP(j) for j >= lo_LP
+            hi_RP = i0 + n - 1        # del_RP(j) for j <  hi_RP
+            if n == 1 or getattr(self, 'mixer', None) is not None:
+                # 1-site updates absorb S.VH into the neighbor, and mixers
+                # (subspace expansion / density-matrix perturbation) modify
+                # the tensor on the far side of the grown bond: one more
+                # environment column is stale
+                if self.move_right:
+                    hi_RP += 1
+                else:
+                    lo_LP -= 1
             for env in self._all_envs:
-                for j in range(i0 + 1, L):
+                for j in range(max(lo_LP, 1), L):
                     env.del_LP(j)
-                for j in range(0, i0 + n - 1):
+                for j in range(0, min(hi_RP, L - 1)):
                     env.del_RP(j)
         # boundary guards (finite bc): LP[L] / RP[-1] don't exist -- and the mod-L
         # keyed storage would silently clobber LP[0] / RP[L-1]

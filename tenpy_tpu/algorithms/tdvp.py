@@ -68,6 +68,29 @@ class TDVPEngine(TimeEvolutionAlgorithm):
         psi_t, N = LanczosEvolution(H, theta, opts).run(delta, normalize=True)
         return psi_t
 
+    def _site0_to_B_form(self):
+        """Bring site 0 from Th into B form, keeping global phase and norm.
+
+        The 1x1 U factor of the boundary SVD is a pure phase — discarding it
+        would corrupt phase-sensitive observables (Loschmidt echo, overlaps);
+        the SVD renormalization goes into ``psi.norm`` (reference
+        ``tenpy/algorithms/tdvp.py:398``: "better keep it!").
+        """
+        psi = self.psi
+        th0 = psi.get_B(0, None)
+        th0_c = th0.combine_legs([['p', 'vR']], qconj=[-1])
+        th0_c.itranspose(['vL', '(p.vR)'])
+        U, S, VH = npc.svd(th0_c, inner_labels=['vR', 'vL'])
+        S = np.asarray(S)
+        renorm = np.linalg.norm(S)
+        phase = complex(U.to_numpy().item())  # U is 1x1 at the trivial boundary
+        B0 = VH.split_legs([1])
+        if abs(phase - 1.) > 1e-15:
+            B0 = B0 * (phase / abs(phase))
+        psi.set_B(0, B0, form='B')
+        psi.set_SL(0, np.ones(1))
+        psi.norm *= renorm * abs(phase)
+
 
 class SingleSiteTDVPEngine(TDVPEngine):
     """1-site TDVP: exact chi-preserving evolution (no truncation error).
@@ -127,15 +150,7 @@ class SingleSiteTDVPEngine(TDVPEngine):
                 theta.ireplace_label('p', 'p0')
             else:
                 psi.set_B(0, theta.replace_label('p0', 'p'), form='Th')
-        # bring site 0 into B form for consistency
-        th0 = psi.get_B(0, None)
-        th0_c = th0.combine_legs([['p', 'vR']], qconj=[-1])
-        th0_c.itranspose(['vL', '(p.vR)'])
-        U, S, VH = npc.svd(th0_c, inner_labels=['vR', 'vL'])
-        S = np.asarray(S)
-        S = S / np.linalg.norm(S)
-        psi.set_B(0, VH.split_legs([1]), form='B')
-        psi.set_SL(0, np.ones(1))
+        self._site0_to_B_form()
         return TruncationError()  # 1-site TDVP does not truncate
 
 
@@ -159,6 +174,7 @@ class TwoSiteTDVPEngine(TDVPEngine):
             U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
                                               inner_labels=['vR', 'vL'])
             err_tot += err
+            psi.norm *= renorm   # truncation/evolution norm change is physical
             A = U.split_legs([0]).ireplace_label('p0', 'p')
             psi.set_B(i, A, form='A')
             psi.set_SR(i, S)
@@ -185,6 +201,7 @@ class TwoSiteTDVPEngine(TDVPEngine):
             U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
                                               inner_labels=['vR', 'vL'])
             err_tot += err
+            psi.norm *= renorm
             B = VH.split_legs([1]).ireplace_label('p1', 'p')
             psi.set_B(i + 1, B, form='B')
             psi.set_SR(i, S)
@@ -196,15 +213,7 @@ class TwoSiteTDVPEngine(TDVPEngine):
                 theta = theta1
             else:
                 psi.set_B(0, theta1.replace_label('p0', 'p'), form='Th')
-        # bring site 0 into B form
-        th0 = psi.get_B(0, None)
-        th0_c = th0.combine_legs([['p', 'vR']], qconj=[-1])
-        th0_c.itranspose(['vL', '(p.vR)'])
-        U, S, VH = npc.svd(th0_c, inner_labels=['vR', 'vL'])
-        S = np.asarray(S)
-        S = S / np.linalg.norm(S)
-        psi.set_B(0, VH.split_legs([1]), form='B')
-        psi.set_SL(0, np.ones(1))
+        self._site0_to_B_form()
         return err_tot
 
 

@@ -155,40 +155,215 @@ def svd_theta(theta, trunc_par, qtotal_LR=(None, None), inner_labels=('vR', 'vL'
     return U, np.asarray(S), VH, err, renormalization
 
 
-def eigh_rho(rho, trunc_par, UPLO='L', sort='m>'):
+def eigh_rho(rho, trunc_par, UPLO='L', sort=None):
     """Hermitian eigendecomposition of a density matrix + truncation.
 
     Returns ``(W, V, err, renormalization)`` — used by density-matrix mixers.
-    Reference: ``tenpy/linalg/truncation.py:316``.
+    ``W`` follows the reference convention (``truncation.py:316``):
+    eigenvalues scaled such that ``rho ~= V @ diag(W) @ V^H`` after the cut,
+    i.e. ``W_kept / new_norm**2 * renormalization`` with ``renormalization`` =
+    trace of rho after zeroing negative-noise eigenvalues.  The truncation
+    decision is made on ``sqrt(W)`` (Schmidt-value scale).
     """
-    W, V = npc.eigh(rho, UPLO=UPLO)
-    W = np.asarray(W)
+    W, V = npc.eigh(rho, UPLO=UPLO, sort=sort)
+    W = np.asarray(W).copy()
+    W[W < 1e-14] = 0.  # negative/noise eigenvalues must not bias the trace
     renormalization = float(np.sum(W))
-    Wn = np.sqrt(np.maximum(W, 0.))  # interpret sqrt of eigenvalues as Schmidt values
-    nrm = np.linalg.norm(Wn)
-    if nrm > 0:
-        Wn = Wn / nrm
-    piv, new_norm, err = truncate(Wn, trunc_par)
+    if renormalization > 0.:
+        W = W / renormalization
+    piv, new_norm, err = truncate(np.sqrt(W), trunc_par)
     V = V.copy(deep=False).iproject(piv, 1)
-    return W[piv], V, err, renormalization
+    W_kept = W[piv] / new_norm ** 2 * renormalization
+    return W_kept, V, err, renormalization
 
 
-def decompose_theta_qr_based(old_qtotal_L, old_qtotal_R, old_bond_leg, theta, move_right,
-                             expand, min_block_increase, use_eig_based_svd, trunc_params,
-                             compute_err, return_both_T):
-    """QR-based truncated decomposition of theta (CBE-style, arXiv:2212.09782).
+def _eig_based_svd(A, need_U=True, need_Vd=True, inner_labels=(None, None),
+                   trunc_params=None):
+    """Singular values/vectors of 2-leg ``A`` via eigh of a Gram matrix.
 
-    A cheaper alternative to full SVD for TEBD/DMRG updates: QR + small SVD on R.
-    Simplified port of reference ``truncation.py:533`` — expansion is handled by
-    enlarging the QR column space with a randomized complement.
-    Returns ``(T_L, S, T_R, err, renormalization)``.
+    One-sided: computes U from ``A A^H`` or V^H from ``A^H A`` (not both — the
+    relative phases would be undetermined).  On-device batched eigh is cheaper
+    than SVD on accelerators; reference ``truncation.py:474``.
     """
-    # theta has combined legs [(vL.p0), (p1.vR)] already
-    theta_c = theta.combine_legs([[0], [1]]) if False else theta
-    Q, R = npc.qr(theta, inner_labels=('vR', 'vL'), qtotal_Q=old_qtotal_L)
-    U, S, VH, err, renorm = svd_theta(R, trunc_params,
-                                      qtotal_LR=[None, old_qtotal_R],
-                                      inner_labels=['vR', 'vL'])
-    T_L = npc.tensordot(Q, U, axes=[[1], [0]])
-    T_R = VH
-    return T_L, S, T_R, err, renorm
+    if need_U and need_Vd:
+        raise NotImplementedError("one-sided only: need_U xor need_Vd")
+    U = Vd = None
+    if need_U:
+        gram = npc.tensordot(A, A.conj(), axes=[[1], [1]])
+        L, U = npc.eigh(gram, sort='>')
+        S = np.sqrt(np.abs(np.asarray(L)))
+        U.iset_leg_labels([A.get_leg_labels()[0], inner_labels[0]])
+    elif need_Vd:
+        gram = npc.tensordot(A.conj(), A, axes=[[0], [0]])
+        L, V = npc.eigh(gram, sort='>')
+        S = np.sqrt(np.abs(np.asarray(L)))
+        Vd = V.iconj().itranspose([1, 0])
+        Vd.iset_leg_labels([inner_labels[1], A.get_leg_labels()[1]])
+    else:
+        if A.shape[1] >= A.shape[0]:
+            gram = npc.tensordot(A, A.conj(), axes=[[1], [1]])
+        else:
+            gram = npc.tensordot(A.conj(), A, axes=[[0], [0]])
+        S = np.sqrt(np.abs(np.asarray(npc.eigvalsh(gram))))
+    if trunc_params is not None:
+        piv, renormalize, err = truncate(S, trunc_params)
+        S = S[piv] / renormalize
+        if need_U:
+            U = U.copy(deep=False).iproject(piv, 1)
+        if need_Vd:
+            Vd = Vd.copy(deep=False).iproject(piv, 0)
+    else:
+        renormalize = float(np.linalg.norm(S))
+        S = S / renormalize
+        err = TruncationError()
+    return U, S, Vd, err, renormalize
+
+
+def _qr_theta_Y0(old_qtotal_L, old_qtotal_R, old_bond_leg, theta, move_right,
+                 expand, min_block_increase):
+    """Initial isometry guess for :func:`decompose_theta_qr_based`.
+
+    Per charge sector of the enlarged bond (the flattened pipe on the side the
+    sweep moves *away* from), keep the ``old_size + increase`` highest-norm
+    columns of theta — the old bond content plus an expansion budget of
+    ``~expand * chi`` extra directions (at least ``min_block_increase`` per
+    sector).  Reference: ``truncation.py:364``.
+    """
+    assert min_block_increase >= 0 and expand
+    Y0 = theta.copy(deep=False)
+    if move_right:
+        ax, q_axis, norm_axis = 1, 1, 0
+        Y0.legs = (Y0.legs[0], Y0.legs[1].to_LegCharge())
+        Y0.ireplace_label('(p1.vR)', 'vR')
+        if np.any(np.asarray(old_qtotal_R) != 0):
+            Y0 = Y0.gauge_total_charge('vR', old_qtotal_L)
+    else:
+        ax, q_axis, norm_axis = 0, 0, 1
+        Y0.legs = (Y0.legs[0].to_LegCharge(), Y0.legs[1])
+        Y0.ireplace_label('(vL.p0)', 'vL')
+        if np.any(np.asarray(old_qtotal_L) != 0):
+            Y0 = Y0.gauge_total_charge('vL', old_qtotal_R)
+    _, v_old = old_bond_leg.sort()
+    v_new = Y0.legs[ax]
+    sizes_old = {tuple(q): int(v_old.slices[j + 1] - v_old.slices[j])
+                 for j, q in enumerate(v_old.charges)}
+    piv = np.zeros(v_new.ind_len, dtype=bool)
+    incr = max(min_block_increase,
+               int(v_old.ind_len * expand) // max(v_new.block_number, 1))
+    stored = {}  # sector qindex on the bond axis -> block index
+    for bi, row in enumerate(Y0._qdata):
+        stored.setdefault(int(row[q_axis]), []).append(bi)
+    for j_new, q_new in enumerate(v_new.charges):
+        s_new = sizes_old.get(tuple(q_new), 0) + incr
+        width = int(v_new.slices[j_new + 1] - v_new.slices[j_new])
+        s_new = min(s_new, width)
+        bis = stored.get(j_new)
+        if not bis:
+            continue  # zero block: keeping its columns would add nothing
+        # column norms across all stored blocks sharing this bond sector
+        norms = np.zeros(width)
+        for bi in bis:
+            blk = np.asarray(Y0._data[bi])
+            norms += np.linalg.norm(
+                blk.reshape(-1, width) if q_axis == 1 else blk.reshape(width, -1).T,
+                axis=0) ** 2
+        kept = np.argsort(-norms)[:s_new]
+        piv[int(v_new.slices[j_new]) + kept] = True
+    return Y0.iproject(piv, ax)
+
+
+def decompose_theta_qr_based(old_qtotal_L, old_qtotal_R, old_bond_leg, theta,
+                             move_right, expand, min_block_increase,
+                             use_eig_based_svd, trunc_params,
+                             compute_err, return_both_T):
+    r"""QR-based truncated decomposition of theta (CBE-style, arXiv:2212.09782).
+
+    ``theta`` has combined legs ``[(vL.p0), (p1.vR)]``.  Two QR half-iterations
+    against the (optionally expanded) initial guess produce isometries
+    ``A_L``/``B_R`` and a small bond matrix ``Xi``, whose (eig-based or plain)
+    SVD is truncated — an SVD-free alternative to :func:`svd_theta` whose cost
+    is dominated by QR + a chi×chi SVD.  Reference: ``truncation.py:533``.
+
+    Returns ``(T_Lc, S, T_Rc, form, trunc_err, renormalization)``; with
+    ``move_right=True`` (``False``) only ``T_Lc`` (``T_Rc``) is guaranteed,
+    the other is ``None`` unless ``return_both_T``; ``form`` gives the
+    canonical form of each returned tensor (e.g. ``['A', 'B']``).
+    """
+    if compute_err:
+        return_both_T = True
+    if move_right:
+        Y0 = _qr_theta_Y0(old_qtotal_L, old_qtotal_R, old_bond_leg, theta,
+                          True, expand, min_block_increase) if expand else \
+            theta  # no expansion: theta itself seeds the iteration
+        th1 = npc.tensordot(Y0.conj(), theta,
+                            axes=[['(vL*.p0*)'], ['(vL.p0)']])
+        th1.iset_leg_labels(['vL', '(p1.vR)'])
+        th1.itranspose(['(p1.vR)', 'vL'])
+        B_R, _ = npc.qr(th1, inner_labels=['vL', 'vR'], inner_qconj=-1)
+        B_R.itranspose(['vL', '(p1.vR)'])
+        th0 = npc.tensordot(theta, B_R.conj(), axes=[['(p1.vR)'], ['(p1*.vR*)']])
+        th0.iset_leg_labels(['(vL.p0)', 'vR'])
+        A_L, Xi = npc.qr(th0, inner_labels=['vR', 'vL'])
+    else:
+        Y0 = _qr_theta_Y0(old_qtotal_L, old_qtotal_R, old_bond_leg, theta,
+                          False, expand, min_block_increase) if expand else theta
+        th0 = npc.tensordot(theta, Y0.conj(), axes=[['(p1.vR)'], ['(p1*.vR*)']])
+        th0.iset_leg_labels(['(vL.p0)', 'vR'])
+        A_L, _ = npc.qr(th0, inner_labels=['vR', 'vL'])
+        th1 = npc.tensordot(A_L.conj(), theta, axes=[['(vL*.p0*)'], ['(vL.p0)']])
+        th1.iset_leg_labels(['vL', '(p1.vR)'])
+        th1.itranspose(['(p1.vR)', 'vL'])
+        B_R, Xi = npc.qr(th1, inner_labels=['vL', 'vR'], inner_qconj=-1)
+        B_R.itranspose(['vL', '(p1.vR)'])
+        Xi.itranspose(['vL', 'vR'])
+
+    if use_eig_based_svd:
+        U, S, Vd, _, renormalization = _eig_based_svd(
+            Xi, need_U=move_right, need_Vd=not move_right,
+            inner_labels=('vR', 'vL'), trunc_params=trunc_params)
+    else:
+        U, S, Vd, _, renormalization = svd_theta(Xi, trunc_params)
+
+    T_Lc = T_Rc = None
+    form = ['A', 'B']
+    if move_right:
+        T_Lc = npc.tensordot(A_L, U, axes=[['vR'], ['vL']])
+        if return_both_T:
+            if use_eig_based_svd:
+                T_Rc = npc.tensordot(Xi, B_R, axes=[['vR'], ['vL']])
+                T_Rc = npc.tensordot(U.conj(), T_Rc, axes=[['vL*'], ['vL']])
+                T_Rc.ireplace_label('vR*', 'vL')
+                T_Rc = T_Rc / npc.norm(T_Rc)
+                form[1] = 'Th'
+            else:
+                T_Rc = npc.tensordot(Vd, B_R, axes=[['vR'], ['vL']])
+    else:
+        T_Rc = npc.tensordot(Vd, B_R, axes=[['vR'], ['vL']])
+        if return_both_T:
+            if use_eig_based_svd:
+                T_Lc = npc.tensordot(A_L, Xi, axes=[['vR'], ['vL']])
+                T_Lc = npc.tensordot(T_Lc, Vd.conj(), axes=[['vR'], ['vR*']])
+                T_Lc.ireplace_label('vL*', 'vR')
+                T_Lc = T_Lc / npc.norm(T_Lc)
+                form[0] = 'Th'
+            else:
+                T_Lc = npc.tensordot(A_L, U, axes=[['vR'], ['vL']])
+
+    if compute_err:
+        if use_eig_based_svd:
+            theta_approx = npc.tensordot(T_Lc, T_Rc, axes=[['vR'], ['vL']])
+        else:
+            theta_approx = npc.tensordot(T_Lc.scale_axis(np.asarray(S), 'vR'),
+                                         T_Rc, axes=[['vR'], ['vL']])
+        N_theta = npc.norm(theta)
+        eps = float(npc.norm(theta * (1. / N_theta) -
+                             theta_approx * (renormalization / N_theta))) ** 2
+        trunc_err = TruncationError(eps, 1. - 2. * eps)
+    else:
+        trunc_err = TruncationError(np.nan, np.nan)
+
+    if T_Lc is not None:
+        T_Lc.ireplace_label('(vL.p0)', '(vL.p)')
+    if T_Rc is not None:
+        T_Rc.ireplace_label('(p1.vR)', '(p.vR)')
+    return T_Lc, S, T_Rc, form, trunc_err, renormalization
