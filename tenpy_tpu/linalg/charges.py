@@ -125,6 +125,22 @@ class ChargeInfo:
     def __repr__(self):
         return f"ChargeInfo({list(self.mod)}, {list(self.names)})"
 
+    # ---------------------------------------------------------------- hdf5
+    def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        """Reference layout (``tenpy/linalg/charges.py:111``): ``mod`` as
+        dataset ``'U1_ZN'``, ``names``, attr ``num_charges``."""
+        h5gr.attrs['num_charges'] = self.qnumber
+        hdf5_saver.save(np.array(self.mod, QTYPE), subpath + 'U1_ZN')
+        hdf5_saver.save(list(self.names), subpath + 'names')
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        qmod = np.asarray(hdf5_loader.load(subpath + 'U1_ZN'), QTYPE)
+        names = hdf5_loader.load(subpath + 'names') if 'names' in h5gr else None
+        obj = cls(tuple(int(m) for m in qmod), names)
+        hdf5_loader.memorize_load(h5gr, obj)
+        return obj
+
 
 class LegCharge:
     """Charge structure of one tensor leg: contiguous sectors with charge vectors.
@@ -236,6 +252,44 @@ class LegCharge:
     def to_qdict(self):
         return {tuple(self.charges[i]): slice(int(self.slices[i]), int(self.slices[i + 1]))
                 for i in range(self.block_number)}
+
+    # ---------------------------------------------------------------- hdf5
+    def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        """Reference ``'blocks'`` layout (``charges.py:649``): datasets
+        ``slices``/``charges``, subgroup ``chinfo``, attrs ``format``,
+        ``ind_len``, ``qconj``, ``block_number``, ``sorted``, ``bunched``."""
+        h5gr.attrs['format'] = 'blocks'
+        h5gr.attrs['ind_len'] = self.ind_len
+        h5gr.attrs['qconj'] = self.qconj
+        h5gr.attrs['block_number'] = self.block_number
+        h5gr.attrs['sorted'] = bool(self.sorted)
+        h5gr.attrs['bunched'] = bool(self.bunched)
+        hdf5_saver.save(self.chinfo, subpath + 'chinfo')
+        hdf5_saver.save(np.asarray(self.slices), subpath + 'slices')
+        hdf5_saver.save(np.asarray(self.charges), subpath + 'charges')
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        fmt = hdf5_loader.get_attr(h5gr, 'format')
+        qconj = int(hdf5_loader.get_attr(h5gr, 'qconj'))
+        chinfo = hdf5_loader.load(subpath + 'chinfo')
+        if fmt == 'blocks':
+            slices = hdf5_loader.load(subpath + 'slices')
+            charges = hdf5_loader.load(subpath + 'charges')
+        elif fmt == 'compact':
+            bc = np.asarray(hdf5_loader.load(subpath + 'blockcharges'))
+            slices = np.concatenate([bc[:, 0], bc[-1:, 1]])
+            charges = np.asarray(bc[:, 2:], QTYPE)
+        elif fmt == 'flat':
+            qflat = np.asarray(hdf5_loader.load(subpath + 'charges'))
+            obj = cls.from_qflat(chinfo, qflat, qconj)
+            hdf5_loader.memorize_load(h5gr, obj)
+            return obj
+        else:
+            raise ValueError(f"unknown LegCharge hdf5 format {fmt!r}")
+        obj = cls(chinfo, slices, charges, qconj)
+        hdf5_loader.memorize_load(h5gr, obj)
+        return obj
 
     # ---------------------------------------------------------------- transformations
     def conj(self):
@@ -474,6 +528,20 @@ class LegPipe(LegCharge):
 
     def to_LegCharge(self):
         return LegCharge(self.chinfo, self.slices, self.charges, self.qconj)
+
+    # ---------------------------------------------------------------- hdf5
+    def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        """LegCharge layout + constituent ``legs`` (reference ``charges.py:1598``)."""
+        LegCharge.save_hdf5(self, hdf5_saver, h5gr, subpath)
+        hdf5_saver.save(list(self.legs), subpath + 'legs')
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        qconj = int(hdf5_loader.get_attr(h5gr, 'qconj'))
+        legs = hdf5_loader.load(subpath + 'legs')
+        obj = cls(legs, qconj)
+        hdf5_loader.memorize_load(h5gr, obj)
+        return obj
 
     def conj(self):
         """Flip qconj of the pipe *and* of all constituent legs."""

@@ -416,6 +416,43 @@ class Array:
         return blk[tuple(within)]
 
     # ------------------------------------------------------------------ sanity
+    # ------------------------------------------------------------------ hdf5
+    def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        """Reference layout (``np_conserved.py`` Array.save_hdf5): subgroups
+        ``chinfo``/``legs``/``dtype``/``total_charge``/``labels``/``blocks``/
+        ``block_inds``, attrs ``block_inds_sorted``/``rank``/``shape``."""
+        hdf5_saver.save(self.chinfo, subpath + 'chinfo')
+        hdf5_saver.save(list(self.legs), subpath + 'legs')
+        hdf5_saver.save(np.dtype(str(self.dtype)), subpath + 'dtype')
+        hdf5_saver.save(np.array(self.qtotal, QTYPE), subpath + 'total_charge')
+        hdf5_saver.save(list(self._labels), subpath + 'labels')
+        hdf5_saver.save([np.asarray(b) for b in self._data], subpath + 'blocks')
+        hdf5_saver.save(np.asarray(self._qdata), subpath + 'block_inds')
+        h5gr.attrs['block_inds_sorted'] = True
+        h5gr.attrs['rank'] = self.rank
+        h5gr.attrs['shape'] = np.array(self.shape, np.intp)
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        obj = cls.__new__(cls)
+        hdf5_loader.memorize_load(h5gr, obj)
+        legs = hdf5_loader.load(subpath + 'legs')
+        dtype = hdf5_loader.load(subpath + 'dtype')
+        qtotal = hdf5_loader.load(subpath + 'total_charge')
+        labels = hdf5_loader.load(subpath + 'labels')
+        blocks = hdf5_loader.load(subpath + 'blocks')
+        qdata = np.asarray(hdf5_loader.load(subpath + 'block_inds'), QTYPE)
+        obj.legs = tuple(legs)
+        obj.dtype = jnp.dtype(np.dtype(dtype))
+        chinfo = obj.legs[0].chinfo
+        obj.qtotal = tuple(int(q) for q in chinfo.make_valid(qtotal))
+        obj._labels = tuple(labels)
+        obj._qdata = np.zeros((0, len(obj.legs)), QTYPE)
+        obj._data = []
+        obj._set_blocks(qdata.reshape(len(blocks), len(obj.legs)),
+                        [np.asarray(b) for b in blocks])
+        return obj
+
     def test_sanity(self):
         assert len(self._data) == len(self._qdata)
         for l in self.legs:

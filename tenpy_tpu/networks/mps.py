@@ -146,9 +146,46 @@ class MPS:
         return res
 
     def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        """Reference layout (``tenpy/networks/mps.py`` MPS.save_hdf5):
+        ``sites``/``tensors``/``singular_values``/``boundary_condition``/
+        ``canonical_form``/``chinfo``/``segment_boundaries`` subgroups and
+        ``norm``/``grouped``/``transfermatrix_keep``/``L`` attrs."""
         hdf5_saver.save(self.sites, subpath + 'sites')
-        hdf5_saver.save([np.asarray(B.to_ndarray()) for B in self._B],
-                        subpath + 'tensors_dense')
+        hdf5_saver.save(self._B, subpath + 'tensors')
+        hdf5_saver.save(list(self._S), subpath + 'singular_values')
+        hdf5_saver.save(self.bc, subpath + 'boundary_condition')
+        hdf5_saver.save([None if f is None else list(f) for f in self.form],
+                        subpath + 'canonical_form')
+        hdf5_saver.save(self.chinfo, subpath + 'chinfo')
+        hdf5_saver.save(self.segment_boundaries, subpath + 'segment_boundaries')
+        h5gr.attrs['norm'] = self.norm
+        h5gr.attrs['grouped'] = self.grouped
+        h5gr.attrs['transfermatrix_keep'] = self._transfermatrix_keep
+        h5gr.attrs['L'] = self.L
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        obj = cls.__new__(cls)
+        hdf5_loader.memorize_load(h5gr, obj)
+        obj.sites = list(hdf5_loader.load(subpath + 'sites'))
+        obj._B = list(hdf5_loader.load(subpath + 'tensors'))
+        obj._S = list(hdf5_loader.load(subpath + 'singular_values'))
+        obj.bc = hdf5_loader.load(subpath + 'boundary_condition')
+        form = hdf5_loader.load(subpath + 'canonical_form')
+        obj.form = [None if f is None else tuple(f) for f in form]
+        obj.chinfo = hdf5_loader.load(subpath + 'chinfo')
+        if 'segment_boundaries' in h5gr:
+            sb = hdf5_loader.load(subpath + 'segment_boundaries')
+            obj.segment_boundaries = tuple(sb) if sb is not None else (None, None)
+        else:
+            obj.segment_boundaries = (None, None)
+        obj.norm = float(hdf5_loader.get_attr(h5gr, 'norm'))
+        obj.grouped = int(hdf5_loader.get_attr(h5gr, 'grouped'))
+        obj._transfermatrix_keep = int(
+            h5gr.attrs.get('transfermatrix_keep', 1))
+        obj.dtype = jnp.result_type(*[B.dtype for B in obj._B]) \
+            if obj._B else jnp.float64
+        return obj
 
     def test_sanity(self):
         assert len(self._B) == self.L

@@ -89,6 +89,28 @@ class Site:
     def __repr__(self):
         return f"<Site d={self.dim}, ops={sorted(self.opnames)}>"
 
+    # ---------------------------------------------------------------- hdf5
+    def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        """Generic instance-dict layout (reference Site is Hdf5Exportable)."""
+        from ..tools.io import ATTR_FORMAT
+        type_repr = hdf5_saver.save_dict_content(
+            {k: (sorted(v) if isinstance(v, set) else v)
+             for k, v in self.__dict__.items()}, h5gr, subpath)
+        h5gr.attrs[ATTR_FORMAT] = type_repr
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        from ..tools.io import ATTR_FORMAT
+        obj = cls.__new__(cls)
+        hdf5_loader.memorize_load(h5gr, obj)
+        fmt = hdf5_loader.get_attr(h5gr, ATTR_FORMAT)
+        data = hdf5_loader.load_dict(h5gr, fmt, subpath)
+        for k in ('opnames', 'need_JW_string'):
+            if k in data:
+                data[k] = set(data[k])
+        obj.__dict__.update(data)
+        return obj
+
     def test_sanity(self):
         for lab, idx in self.state_labels.items():
             assert 0 <= idx < self.dim

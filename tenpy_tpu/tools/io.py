@@ -1,12 +1,16 @@
-"""Result/object serialization: pickle (+gzip) always, HDF5 when ``h5py`` is available.
+"""Result/object serialization: pickle (+gzip) and HDF5 in the reference format.
 
-Rebuild of ``tenpy/tools/hdf5_io.py`` (save :147, load :187, Hdf5Exportable :330).  In this
-environment ``h5py`` is not installed, so the pickle path is the default; the HDF5
-saver/loader activates automatically when ``h5py`` import succeeds, using the same
-``save_hdf5``/``from_hdf5`` protocol and type registry as the reference format.
+Rebuild of ``tenpy/tools/hdf5_io.py`` (save :147, load :187, Hdf5Exportable :330,
+Hdf5Saver :431, Hdf5Loader :838).  The HDF5 layout follows the reference format
+specification (``doc/intro/input_output.rst``): type metadata in the ``'type'``
+attribute using the same ``REPR_*`` vocabulary, ``simple_dict``/``dict``
+key-value layouts, lists/tuples/sets as groups of ``str(i)`` children with a
+``'len'`` attribute, memoized hard links for shared/cyclic objects, and
+``'instance'`` groups carrying ``'class'``/``'module'`` attributes — so files
+written here are structurally interoperable with the reference's.
 
-JAX arrays are converted to numpy on save (device -> host) and restored as numpy; consumers
-re-device-put lazily.
+JAX arrays are converted to numpy on save (device -> host) and restored as
+numpy; consumers re-device-put lazily.
 """
 
 from __future__ import annotations
@@ -14,7 +18,6 @@ from __future__ import annotations
 import gzip
 import importlib
 import pickle
-import types
 import warnings
 
 import numpy as np
@@ -27,29 +30,116 @@ except ImportError:
     _HAS_H5PY = False
 
 __all__ = ['save', 'load', 'save_to_hdf5', 'load_from_hdf5', 'Hdf5Exportable',
-           'Hdf5Saver', 'Hdf5Loader', 'valid_hdf5_path_component', 'find_global',
-           'ATTR_TYPE', 'ATTR_CLASS', 'ATTR_MODULE', 'ATTR_LEN', 'REPR_HDF5EXPORTABLE']
+           'Hdf5Saver', 'Hdf5Loader', 'Hdf5FormatError', 'Hdf5ExportError',
+           'Hdf5ImportError', 'valid_hdf5_path_component', 'find_global',
+           'ATTR_TYPE', 'ATTR_CLASS', 'ATTR_MODULE', 'ATTR_LEN', 'ATTR_FORMAT',
+           'REPR_HDF5EXPORTABLE']
+
+# --------------------------------------------------------------------- format
+# the REPR_* / ATTR_* vocabulary of the reference HDF5 format
+REPR_HDF5EXPORTABLE = 'instance'
+REPR_REDUCE = 'reduce'
+REPR_ARRAY = 'array'
+REPR_MASKED_ARRAY = 'masked_array'
+REPR_INT = 'int'
+REPR_INT_AS_STR = 'int_as_str'
+REPR_FLOAT = 'float'
+REPR_STR = 'str'
+REPR_BYTES = 'bytes'
+REPR_COMPLEX = 'complex'
+REPR_INT64 = 'np.int64'
+REPR_FLOAT64 = 'np.float64'
+REPR_COMPLEX128 = 'np.complex128'
+REPR_INT32 = 'np.int32'
+REPR_FLOAT32 = 'np.float32'
+REPR_COMPLEX64 = 'np.complex64'
+REPR_BOOL = 'bool'
+REPR_NONE = 'None'
+REPR_RANGE = 'range'
+REPR_LIST = 'list'
+REPR_TUPLE = 'tuple'
+REPR_SET = 'set'
+REPR_DICT_GENERAL = 'dict'
+REPR_DICT_SIMPLE = 'simple_dict'
+REPR_DTYPE = 'dtype'
+REPR_FUNCTION = 'function'
+REPR_CLASS = 'class'
+REPR_GLOBAL = 'global'
+REPR_IGNORED = 'ignore'
 
 ATTR_TYPE = 'type'
 ATTR_CLASS = 'class'
 ATTR_MODULE = 'module'
 ATTR_LEN = 'len'
 ATTR_FORMAT = 'format'
-REPR_HDF5EXPORTABLE = 'instance'
+
+_SCALAR_REPRS = {
+    bool: REPR_BOOL,
+    int: REPR_INT,
+    float: REPR_FLOAT,
+    complex: REPR_COMPLEX,
+    np.int64: REPR_INT64,
+    np.float64: REPR_FLOAT64,
+    np.complex128: REPR_COMPLEX128,
+    np.int32: REPR_INT32,
+    np.float32: REPR_FLOAT32,
+    np.complex64: REPR_COMPLEX64,
+    np.bool_: REPR_BOOL,
+}
+_SCALAR_LOADERS = {
+    REPR_BOOL: bool,
+    REPR_INT: int,
+    REPR_FLOAT: float,
+    REPR_COMPLEX: complex,
+    REPR_INT64: np.int64,
+    REPR_FLOAT64: np.float64,
+    REPR_COMPLEX128: np.complex128,
+    REPR_INT32: np.int32,
+    REPR_FLOAT32: np.float32,
+    REPR_COMPLEX64: np.complex64,
+}
+
+
+class Hdf5FormatError(Exception):
+    """Base class for errors regarding the HDF5 format."""
+
+
+class Hdf5ExportError(Hdf5FormatError):
+    pass
+
+
+class Hdf5ImportError(Hdf5FormatError):
+    pass
+
+
+def valid_hdf5_path_component(name):
+    """Whether `name` is a valid HDF5 path component (reference semantics:
+    a string without ``'/'`` and not ``'.'``)."""
+    return isinstance(name, str) and '/' not in name and name != '.'
+
+
+def find_global(module, qualified_name):
+    """Resolve ``module.qualified_name`` (dotted) to the global object."""
+    mod = importlib.import_module(module)
+    obj = mod
+    for part in qualified_name.split('.'):
+        obj = getattr(obj, part)
+    return obj
 
 
 def _to_host(obj):
-    """Recursively convert jax arrays to numpy for serialization."""
+    """Convert a jax array to numpy; leave everything else untouched.
+
+    Only shallow — containers are handled recursively by the saver itself so
+    the converted object stays referenced (and its ``id`` pinned) in the memo.
+    """
     import jax
     if isinstance(obj, jax.Array):
         return np.asarray(obj)
-    if isinstance(obj, dict):
-        return {k: _to_host(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        t = type(obj)
-        return t(_to_host(v) for v in obj)
     return obj
 
+
+# ------------------------------------------------------------ file-level API
 
 def save(data, filename, mode='w'):
     """Save `data` to file; format chosen by extension (.pkl / .pkl.gz / .h5 / .hdf5).
@@ -89,152 +179,349 @@ def load(filename):
     raise ValueError(f"unsupported filename extension: {filename}")
 
 
-def valid_hdf5_path_component(name):
-    return str(name).replace('/', '|')
-
-
-def find_global(module, qualified_name):
-    mod = importlib.import_module(module)
-    obj = mod
-    for part in qualified_name.split('.'):
-        obj = getattr(obj, part)
-    return obj
-
-
 class Hdf5Exportable:
-    """Mixin: default save/load of ``self.__dict__`` to HDF5 (reference ``hdf5_io.py:330``)."""
+    """Mixin: default save/load of ``self.__dict__`` to HDF5.
+
+    Reference: ``hdf5_io.py:330``.  The instance dict is stored in the
+    simple/general dict layout; ``ATTR_FORMAT`` records which.
+    """
 
     def save_hdf5(self, hdf5_saver, h5gr, subpath):
-        for k, v in self.__dict__.items():
-            if not k.startswith('_'):
-                hdf5_saver.save(v, subpath + valid_hdf5_path_component(k))
+        type_repr = hdf5_saver.save_dict_content(self.__dict__, h5gr, subpath)
+        h5gr.attrs[ATTR_FORMAT] = type_repr
 
     @classmethod
     def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        dict_format = hdf5_loader.get_attr(h5gr, ATTR_FORMAT)
         obj = cls.__new__(cls)
         hdf5_loader.memorize_load(h5gr, obj)
-        for k in h5gr.keys():
-            setattr(obj, str(k), hdf5_loader.load(subpath + k))
+        data = hdf5_loader.load_dict(h5gr, dict_format, subpath)
+        obj.__dict__.update(data)
         return obj
 
 
-class Hdf5Saver:
-    """Save nested python objects into an HDF5 group (requires h5py).
+# ------------------------------------------------------------------- saving
 
-    Format-compatible in spirit with the reference ``Hdf5Saver`` (``hdf5_io.py:431``):
-    type metadata in attributes, memoization of shared objects via hard links.
+class Hdf5Saver:
+    """Save nested python objects into an HDF5 group in the reference format.
+
+    Reference: ``hdf5_io.py:431``.  Shared and cyclic objects are saved once
+    and hard-linked on re-encounter; the memo holds ``(h5gr, obj)`` pairs so
+    temporary objects stay alive for the whole save (their ``id`` must not be
+    recycled).
     """
 
-    def __init__(self, h5file):
+    def __init__(self, h5group, format_selection=None):
         if not _HAS_H5PY:
             raise ImportError("h5py not available")
-        self.h5file = h5file
-        self.memo = {}
+        self.h5group = h5group
+        self.memo_save = {}
+        self.format_selection = format_selection or {}
 
     def save(self, obj, path='/'):
+        """Save `obj` under `path`; returns the h5py Group/Dataset written."""
         obj = _to_host(obj)
-        key = id(obj)
-        if key in self.memo:
-            self.h5file[path.rstrip('/')] = self.memo[key]  # hard link
-            return self.memo[key]
-        gr = self._dispatch(obj, path)
-        return gr
+        in_memo = self.memo_save.get(id(obj))
+        if in_memo is not None:
+            h5gr, _ = in_memo
+            self.h5group[path.rstrip('/') or '/'] = h5gr  # hard link
+            return h5gr
+        return self._dispatch(obj, path.rstrip('/'))
 
-    def _dispatch(self, obj, path):
-        f = self.h5file
-        p = path.rstrip('/')
+    def create_group_for_obj(self, path, obj):
+        """Create a group at `path`, memoizing `obj` (pins it alive).
+
+        ``path`` '' / '/' maps to the (already existing) root group."""
+        h5gr = self._group(path)
+        self.memo_save[id(obj)] = (h5gr, obj)
+        return h5gr, (path.rstrip('/') + '/')
+
+    def _group(self, path):
+        if path in ('', '/'):
+            return self.h5group['/']
+        return self.h5group.create_group(path)
+
+    def memorize_save(self, h5gr, obj):
+        self.memo_save[id(obj)] = (h5gr, obj)
+
+    # -- type dispatch
+    def _dispatch(self, obj, p):
+        f = self.h5group
         if obj is None:
-            g = f.create_group(p)
-            g.attrs[ATTR_TYPE] = 'None'
-        elif isinstance(obj, (bool, np.bool_)):
-            f[p] = bool(obj)
-            f[p].attrs[ATTR_TYPE] = 'bool'
-        elif isinstance(obj, (int, np.integer)):
-            f[p] = int(obj)
-            f[p].attrs[ATTR_TYPE] = 'int'
-        elif isinstance(obj, (float, np.floating)):
-            f[p] = float(obj)
-            f[p].attrs[ATTR_TYPE] = 'float'
-        elif isinstance(obj, (complex, np.complexfloating)):
-            f[p] = np.complex128(obj)
-            f[p].attrs[ATTR_TYPE] = 'complex'
-        elif isinstance(obj, str):
+            g = self._group(p)
+            g.attrs[ATTR_TYPE] = REPR_NONE
+            return g
+        t = type(obj)
+        repr_scalar = _SCALAR_REPRS.get(t)
+        if repr_scalar is not None:
+            if repr_scalar == REPR_INT and (obj > 2 ** 63 - 1 or obj < -2 ** 63):
+                f[p] = str(obj)
+                f[p].attrs[ATTR_TYPE] = REPR_INT_AS_STR
+            else:
+                f[p] = obj
+                f[p].attrs[ATTR_TYPE] = repr_scalar
+            self.memorize_save(f[p], obj)
+            return f[p]
+        if t is str:
             f[p] = obj
-            f[p].attrs[ATTR_TYPE] = 'str'
-        elif isinstance(obj, np.ndarray):
+            f[p].attrs[ATTR_TYPE] = REPR_STR
+            self.memorize_save(f[p], obj)
+            return f[p]
+        if t is bytes:
+            f[p] = np.void(obj)
+            f[p].attrs[ATTR_TYPE] = REPR_BYTES
+            self.memorize_save(f[p], obj)
+            return f[p]
+        if t is range:
+            g, sub = self.create_group_for_obj(p, obj)
+            g.attrs[ATTR_TYPE] = REPR_RANGE
+            self.save(obj.start, sub + 'start')
+            self.save(obj.stop, sub + 'stop')
+            self.save(obj.step, sub + 'step')
+            return g
+        if t is np.dtype or isinstance(obj, np.dtype):
+            g, sub = self.create_group_for_obj(p, obj)
+            g.attrs[ATTR_TYPE] = REPR_DTYPE
+            self.save(np.lib.format.dtype_to_descr(obj), sub + 'descr')
+            return g
+        if isinstance(obj, np.ma.MaskedArray):
+            g, sub = self.create_group_for_obj(p, obj)
+            g.attrs[ATTR_TYPE] = REPR_MASKED_ARRAY
+            self.save(np.asarray(obj.data), sub + 'data')
+            self.save(np.asarray(obj.mask), sub + 'mask')
+            return g
+        if isinstance(obj, np.ndarray):
+            if obj.dtype == object:
+                raise Hdf5ExportError("cannot save object-dtype arrays to hdf5")
             f[p] = obj
-            f[p].attrs[ATTR_TYPE] = 'array'
-        elif isinstance(obj, (list, tuple)):
-            g = f.create_group(p)
-            g.attrs[ATTR_TYPE] = 'list' if isinstance(obj, list) else 'tuple'
-            g.attrs[ATTR_LEN] = len(obj)
-            self.memo[id(obj)] = g
-            for i, v in enumerate(obj):
-                self.save(v, f"{p}/{i}")
-        elif isinstance(obj, dict):
-            g = f.create_group(p)
-            g.attrs[ATTR_TYPE] = 'dict'
-            self.memo[id(obj)] = g
-            for k, v in obj.items():
-                self.save(v, f"{p}/{valid_hdf5_path_component(k)}")
-        elif hasattr(obj, 'save_hdf5'):
-            g = f.create_group(p)
+            f[p].attrs[ATTR_TYPE] = REPR_ARRAY
+            self.memorize_save(f[p], obj)
+            return f[p]
+        if isinstance(obj, np.generic):
+            # numpy scalar of a type without a dedicated REPR: store as array
+            f[p] = np.asarray(obj)
+            f[p].attrs[ATTR_TYPE] = REPR_ARRAY
+            self.memorize_save(f[p], obj)
+            return f[p]
+        if t in (list, tuple, set):
+            type_repr = {list: REPR_LIST, tuple: REPR_TUPLE, set: REPR_SET}[t]
+            return self.save_iterable(obj, p, type_repr)
+        if t is dict:
+            return self.save_dict(obj, p)
+        if isinstance(obj, type) or (callable(obj) and
+                                     not hasattr(obj, 'save_hdf5')):
+            mod = getattr(obj, '__module__', None)
+            qualname = getattr(obj, '__qualname__', None)
+            if mod is not None and qualname is not None and \
+                    not hasattr(obj, 'save_hdf5'):
+                try:
+                    if find_global(mod, qualname) is obj:
+                        g = self._group(p)
+                        g.attrs[ATTR_TYPE] = REPR_CLASS if isinstance(obj, type) \
+                            else REPR_FUNCTION
+                        g.attrs[ATTR_CLASS] = qualname
+                        g.attrs[ATTR_MODULE] = mod
+                        self.memorize_save(g, obj)
+                        return g
+                except Exception:  # noqa: BLE001 - fall through to instance save
+                    pass
+        if hasattr(obj, 'save_hdf5'):
+            g, sub = self.create_group_for_obj(p, obj)
             g.attrs[ATTR_TYPE] = REPR_HDF5EXPORTABLE
             g.attrs[ATTR_CLASS] = obj.__class__.__qualname__
             g.attrs[ATTR_MODULE] = obj.__class__.__module__
-            self.memo[id(obj)] = g
-            obj.save_hdf5(self, g, p + '/')
-        else:
-            # last resort: pickle into a byte dataset
-            f[p] = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
-            f[p].attrs[ATTR_TYPE] = 'pickle'
-        return f[p]
+            obj.save_hdf5(self, g, sub)
+            return g
+        return self._save_reduce(obj, p)
 
+    def save_iterable(self, obj, path, type_repr):
+        g, sub = self.create_group_for_obj(path, obj)
+        g.attrs[ATTR_TYPE] = type_repr
+        g.attrs[ATTR_LEN] = len(obj)
+        for i, v in enumerate(obj):
+            self.save(v, sub + str(i))
+        return g
+
+    def save_dict(self, obj, path):
+        g, sub = self.create_group_for_obj(path, obj)
+        type_repr = self.save_dict_content(obj, g, sub)
+        g.attrs[ATTR_TYPE] = type_repr
+        return g
+
+    def save_dict_content(self, obj, h5gr, subpath):
+        """Save dict entries into the existing group `h5gr`.
+
+        Simple keys (valid path components) are used directly as child names
+        (``simple_dict`` layout); otherwise ``keys``/``values`` lists are
+        stored (general ``dict`` layout).  Returns the layout's REPR.
+        """
+        simple_keys = all(valid_hdf5_path_component(k) for k in obj.keys())
+        if simple_keys:
+            for k, v in obj.items():
+                self.save(v, subpath + k)
+            return REPR_DICT_SIMPLE
+        self.save_iterable(list(obj.keys()), subpath + 'keys', REPR_LIST)
+        self.save_iterable(list(obj.values()), subpath + 'values', REPR_LIST)
+        return REPR_DICT_GENERAL
+
+    def _save_reduce(self, obj, path):
+        """Fallback: save via the pickle ``__reduce__`` protocol, or raw pickle
+        bytes if the object does not reduce cleanly."""
+        try:
+            red = obj.__reduce__()
+        except Exception:  # noqa: BLE001
+            red = None
+        if red is not None and not isinstance(red, str) and 2 <= len(red) <= 3:
+            func, args = red[0], red[1]
+            state = red[2] if len(red) > 2 else None
+            mod = getattr(func, '__module__', None)
+            qualname = getattr(func, '__qualname__', None)
+            if mod is not None and qualname is not None:
+                g, sub = self.create_group_for_obj(path, obj)
+                g.attrs[ATTR_TYPE] = REPR_REDUCE
+                self.save(func, sub + 'func')
+                self.save(list(args), sub + 'args')
+                if state is not None:
+                    self.save(state, sub + 'state')
+                return g
+        warnings.warn(f"hdf5: falling back to raw pickle for "
+                      f"{type(obj).__name__}", stacklevel=3)
+        f = self.h5group
+        f[path] = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+        f[path].attrs[ATTR_TYPE] = 'pickle'
+        self.memorize_save(f[path], obj)
+        return f[path]
+
+
+# ------------------------------------------------------------------ loading
 
 class Hdf5Loader:
     """Load objects saved by :class:`Hdf5Saver` (reference ``hdf5_io.py:838``)."""
 
-    def __init__(self, h5file):
+    def __init__(self, h5group):
         if not _HAS_H5PY:
             raise ImportError("h5py not available")
-        self.h5file = h5file
-        self.memo = {}
+        self.h5group = h5group
+        self.memo_load = {}
 
     def memorize_load(self, h5gr, obj):
-        self.memo[h5gr.id] = obj
+        self.memo_load[h5gr.id] = obj
+
+    def get_attr(self, h5gr, name):
+        if name not in h5gr.attrs:
+            raise Hdf5ImportError(
+                f"missing attribute {name!r} for {h5gr.name!r}")
+        v = h5gr.attrs[name]
+        if isinstance(v, bytes):
+            v = v.decode()
+        return v
 
     def load(self, path='/'):
-        node = self.h5file[path.rstrip('/') or '/']
-        if node.id in self.memo:
-            return self.memo[node.id]
+        node = self.h5group[path.rstrip('/') or '/']
+        if node.id in self.memo_load:
+            return self.memo_load[node.id]
         t = node.attrs.get(ATTR_TYPE, None)
-        if t == 'None':
+        if isinstance(t, bytes):
+            t = t.decode()
+        if t is None:
+            raise Hdf5ImportError(f"no {ATTR_TYPE!r} attribute at {node.name}")
+        if t == REPR_NONE or t == REPR_IGNORED:
             return None
-        if t in ('bool', 'int', 'float', 'complex', 'str'):
+        if t in _SCALAR_LOADERS:
+            return _SCALAR_LOADERS[t](node[()])
+        if t == REPR_INT_AS_STR:
             v = node[()]
-            if t == 'str' and isinstance(v, bytes):
-                v = v.decode()
-            return {'bool': bool, 'int': int, 'float': float,
-                    'complex': complex, 'str': str}[t](v)
-        if t == 'array':
-            return np.asarray(node[()])
-        if t in ('list', 'tuple'):
-            n = int(node.attrs[ATTR_LEN])
-            res = [self.load(f"{node.name}/{i}") for i in range(n)]
-            return res if t == 'list' else tuple(res)
-        if t == 'dict':
-            return {k: self.load(f"{node.name}/{k}") for k in node.keys()}
+            return int(v.decode() if isinstance(v, bytes) else v)
+        if t == REPR_STR:
+            v = node[()]
+            return v.decode() if isinstance(v, bytes) else str(v)
+        if t == REPR_BYTES:
+            return bytes(node[()])
+        if t == REPR_ARRAY:
+            obj = np.asarray(node[()])
+            self.memorize_load(node, obj)
+            return obj
+        if t == REPR_MASKED_ARRAY:
+            data = self.load(node.name + '/data')
+            mask = self.load(node.name + '/mask')
+            obj = np.ma.MaskedArray(data, mask=mask)
+            self.memorize_load(node, obj)
+            return obj
+        if t == REPR_DTYPE:
+            descr = self.load(node.name + '/descr')
+            obj = np.lib.format.descr_to_dtype(descr)
+            self.memorize_load(node, obj)
+            return obj
+        if t == REPR_RANGE:
+            start = self.load(node.name + '/start')
+            stop = self.load(node.name + '/stop')
+            step = self.load(node.name + '/step')
+            return range(start, stop, step)
+        if t in (REPR_LIST, REPR_TUPLE, REPR_SET):
+            return self.load_list(node, t)
+        if t in (REPR_DICT_SIMPLE, REPR_DICT_GENERAL):
+            obj = {}
+            self.memorize_load(node, obj)
+            obj.update(self.load_dict(node, t, node.name + '/'))
+            return obj
+        if t in (REPR_CLASS, REPR_FUNCTION, REPR_GLOBAL):
+            obj = find_global(self.get_attr(node, ATTR_MODULE),
+                              self.get_attr(node, ATTR_CLASS))
+            self.memorize_load(node, obj)
+            return obj
         if t == REPR_HDF5EXPORTABLE:
-            cls = find_global(node.attrs[ATTR_MODULE], node.attrs[ATTR_CLASS])
+            cls = find_global(self.get_attr(node, ATTR_MODULE),
+                              self.get_attr(node, ATTR_CLASS))
             return cls.from_hdf5(self, node, node.name + '/')
+        if t == REPR_REDUCE:
+            func = self.load(node.name + '/func')
+            args = self.load(node.name + '/args')
+            obj = func(*args)
+            self.memorize_load(node, obj)
+            if 'state' in node:
+                state = self.load(node.name + '/state')
+                if hasattr(obj, '__setstate__'):
+                    obj.__setstate__(state)
+                elif isinstance(state, dict):
+                    obj.__dict__.update(state)
+            return obj
         if t == 'pickle':
-            return pickle.loads(bytes(node[()]))
-        raise ValueError(f"unknown hdf5 node type {t!r} at {node.name}")
+            obj = pickle.loads(bytes(node[()]))
+            self.memorize_load(node, obj)
+            return obj
+        raise Hdf5ImportError(f"unknown hdf5 node type {t!r} at {node.name}")
+
+    def load_list(self, node, type_repr):
+        n = int(self.get_attr(node, ATTR_LEN))
+        res = []
+        if type_repr == REPR_LIST:
+            self.memorize_load(node, res)  # allow cycles through lists
+        items = [self.load(f"{node.name}/{i}") for i in range(n)]
+        res.extend(items)
+        if type_repr == REPR_TUPLE:
+            res = tuple(items)
+            self.memorize_load(node, res)
+        elif type_repr == REPR_SET:
+            res = set(items)
+            self.memorize_load(node, res)
+        return res
+
+    def load_dict(self, h5gr, type_repr, subpath):
+        """Load dict *content* from a group in either layout."""
+        if type_repr == REPR_DICT_SIMPLE:
+            return {k: self.load(subpath + k) for k in h5gr.keys()}
+        if type_repr == REPR_DICT_GENERAL:
+            keys = self.load(subpath + 'keys')
+            values = self.load(subpath + 'values')
+            return dict(zip(keys, values))
+        raise Hdf5ImportError(f"unknown dict format {type_repr!r}")
 
 
 def save_to_hdf5(h5group, obj, path='/'):
+    """Save `obj` into an open h5py group. Reference: ``hdf5_io.py:1242``."""
     return Hdf5Saver(h5group).save(obj, path)
 
 
 def load_from_hdf5(h5group, path='/'):
+    """Load from an open h5py group. Reference: ``hdf5_io.py:1270``."""
     return Hdf5Loader(h5group).load(path)
