@@ -188,6 +188,15 @@ class DMRGEngine(IterativeSweeps):
         if norm_err > norm_tol:
             logger.info("norm_err=%.2e > norm_tol: canonicalize", norm_err)
             self._canonicalize(True)
+        elif not self.finite and self.psi.gauge_consistency_error() > 1e-6:
+            # the state passes norm_test, but its noise-floor Schmidt
+            # directions carry Lanczos-residual garbage (see
+            # MPS.gauge_consistency_error): form conversions and
+            # transfer-matrix environment initialization would amplify it
+            # to O(1).  canonical_form compresses those directions away.
+            logger.info("noise-floor Schmidt directions are gauge-"
+                        "inconsistent: canonicalize")
+            self._canonicalize(False)
 
     def _canonicalize(self, warn=False):
         norm_tol_iter = self.options.get('norm_tol_iter', 5, 'real')
@@ -228,12 +237,24 @@ class DMRGEngine(IterativeSweeps):
             # (reference ``dmrg.py:575``).  Skipped while a mixer is active:
             # the bond then carries a non-diagonal matrix S and the mid-sweep
             # state is not in canonical form.
+            # reference bond index i (dmrg.py:575) = bond (i, i+1); our
+            # full_contraction(j) contracts LP[j] with RP[j-1] = bond (j-1, j),
+            # so pass j = i + 1 — both env halves are then freshly updated.
             i = self.i0 if (self.n_optimize == 2 or self.move_right) \
                 else self.i0 - 1
-            E_trunc = float(np.real(self.env.full_contraction(i)))
+            try:
+                E_trunc = float(np.real(self.env.full_contraction(i + 1)))
+            except ValueError:
+                # an aged environment (iDMRG) may still reference a bond whose
+                # chi drifted during this sweep — skip the measurement
+                E_trunc = None
+            if E_trunc is not None:
+                if E0 is None:
+                    E0 = E_trunc
+                E_trunc = E_trunc - E0
             if E0 is None:
-                E0 = E_trunc
-            E_trunc = E_trunc - E0
+                Es = self.update_stats['E_total']
+                E0 = next((e for e in reversed(Es) if e is not None), np.nan)
         self.update_stats['i0'].append(self.i0)
         self.update_stats['age'].append(age)
         self.update_stats['E_total'].append(E0)

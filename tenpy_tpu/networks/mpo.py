@@ -1058,6 +1058,17 @@ class MPOEnvironment(BaseEnvironment):
             LP = self._scale_S_axis(LP, self.ket.get_SR(0), 'vR', conj=False)
             contr = npc.tensordot(LP, RP, axes=[['vR*', 'wR', 'vR'],
                                                 ['vL*', 'wL', 'vL']])
+        elif self.ket.finite and i0 == self.ket.L:
+            # right edge: LP[L] would wrap mod L; contract the last site into
+            # a fresh RP instead (bond L carries trivial S for finite bc).
+            L = self.ket.L
+            RP0 = self.init_RP(L - 1)
+            RP = self._contract_RP(L - 1, RP0)
+            LP = self.get_LP(L - 1)
+            LP = self._scale_S_axis(LP, self.bra.get_SL(L - 1), 'vR*', conj=True)
+            LP = self._scale_S_axis(LP, self.ket.get_SL(L - 1), 'vR', conj=False)
+            contr = npc.tensordot(LP, RP, axes=[['vR*', 'wR', 'vR'],
+                                                ['vL*', 'wL', 'vL']])
         else:
             LP = self.get_LP(i0)
             RP = self.get_RP(i0 - 1)
@@ -1315,14 +1326,29 @@ class MPOTransferMatrix:
 
     @classmethod
     def find_init_LP_RP(cls, H, psi, calc_E=False, guess_init_env_data=None,
-                        tol_ev0=1e-8, subtraction_gauge='rho', options=None):
+                        tol_ev0=1e-8, subtraction_gauge='rho', options=None,
+                        method='auto'):
         """Converged initial LP/RP environments of an infinite MPS.
 
         Returns ``init_env_data`` dict (keys ``init_LP, init_RP, age_LP, age_RP``),
         plus ``(Es, E0)`` if calc_E: ``Es = [e_R, e_L]`` energy densities from
         either fixed point and ``E0`` the full <LP|S^2|RP> contraction.
         Reference: ``tenpy/networks/mpo.py`` same name.
+
+        ``method='auto'`` first tries the channel-wise GMRES construction
+        (:class:`~tenpy_tpu.networks.mpo_env_builder.MPOEnvironmentBuilder`,
+        reference ``mpo.py:3373``), which stays accurate for states carrying
+        noise-floor Schmidt values; MPOs without the required Schur structure
+        fall back to the Arnoldi eigensolver (``method='arnoldi'``).
         """
+        if method == 'auto' and psi.L == H.L:
+            from .mpo_env_builder import MPOEnvironmentBuilder
+            try:
+                builder = MPOEnvironmentBuilder(H, psi)
+                return builder.init_LP_RP_iterative(which='both', calc_E=calc_E)
+            except (ValueError, NotImplementedError) as e:
+                logger.debug("iterative env init not applicable (%s); "
+                             "falling back to Arnoldi", e)
         if guess_init_env_data is None:
             guess_init_env_data = {}
         envs, Es = [], []

@@ -1,0 +1,494 @@
+r"""Iterative (GMRES-based) construction of converged iMPS MPO environments.
+
+Rebuild of the reference's ``MPOEnvironmentBuilder``
+(``tenpy/networks/mpo.py:3129``, ``init_LP_RP_iterative`` at ``:3373``), following
+the construction scheme of Phien et al. (PRB 86, 245107, 2012):
+
+A Hamiltonian-like MPO is upper triangular up to a permutation of its virtual
+states.  Splitting its transfer matrix along the virtual ("channel") index, the
+environment can be built channel by channel in topological order:
+
+* the opening identity channel (``IdL`` for LP) is the dominant transfer-matrix
+  eigenvector, analytically the identity for a canonical MPS;
+* channels without a self-cycle are finite sums of lower-channel contributions,
+  obtained by one pass of partial contractions through the unit cell;
+* channels with a ``|lambda| < 1`` identity self-cycle (exponentially decaying
+  couplings) require solving ``(1 - lambda*T) X = C`` — a well-conditioned
+  GMRES solve;
+* the closing identity channel (``IdR`` for LP) carries the geometric series
+  ``sum_n T^n(C)``, singular on the dominant eigenpair ``(Id, rho)``: the
+  extensive part ``eps * n * Id`` (``eps`` = energy per unit cell) is split off
+  and the remainder solved with GMRES on the rank-1-shifted operator
+  ``1 - T + |Id><rho|``, fixing the gauge ``<rho|X> = 0``.
+
+Unlike the eigensolver route (:meth:`~tenpy_tpu.networks.mpo.MPOTransferMatrix.
+find_init_LP_RP`), this construction stays accurate when the MPS carries
+Schmidt values at the numerical noise floor: each solve is performed in a
+channel subspace where the operator is non-singular, so near-degenerate
+transfer-matrix modes cannot mix into the result.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..linalg import np_conserved as npc
+from ..linalg.sparse import NpcLinearOperator
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['MPOEnvironmentBuilder']
+
+
+class _GeometricSolveOp(NpcLinearOperator):
+    """``x -> x - T(x) [+ <rho|x> c0]`` for the channel geometric series."""
+
+    def __init__(self, tm_fn, dtype, c0=None, rho=None):
+        self.tm_fn = tm_fn
+        self.dtype = dtype
+        self.c0 = c0
+        self.rho = rho
+
+    def matvec(self, x):
+        y = x - self.tm_fn(x)
+        if self.c0 is not None:
+            # <rho|x> = tr(rho^dag x)  (rho hermitian)
+            coeff = complex(npc.inner(self.rho, x, axes='range', do_conj=True))
+            y = y + self.c0 * coeff
+        return y
+
+
+class MPOEnvironmentBuilder:
+    """Channel-wise converged LP/RP environments for an infinite MPS + MPO.
+
+    Parameters
+    ----------
+    H : :class:`~tenpy_tpu.networks.mpo.MPO`
+        Infinite Hamiltonian-like MPO with IdL/IdR structure.
+    psi : :class:`~tenpy_tpu.networks.mps.MPS`
+        Infinite MPS in canonical form, same unit cell length as `H`.
+
+    Raises
+    ------
+    ValueError
+        If the MPO does not have the required Schur structure (exactly two
+        unit-norm identity cycles, acyclic channel graph otherwise) — callers
+        should fall back to the Arnoldi route.
+    """
+
+    def __init__(self, H, psi):
+        if psi.finite or H.bc != 'infinite':
+            raise ValueError("MPOEnvironmentBuilder needs infinite MPS/MPO")
+        if H.L != psi.L:
+            raise ValueError("unit cell mismatch H.L != psi.L")
+        if getattr(psi, '_p_label', ['p']) != ['p']:
+            raise ValueError("only plain MPS supported")
+        self.H = H
+        self.ket = psi
+        self.L = psi.L
+        self.dtype = np.promote_types(np.dtype(str(H.dtype)),
+                                      np.dtype(str(psi.get_B(0, None).dtype)))
+        self._edges = self._extract_graph()     # per site: {(a, b): npc op}
+        self._out_edges = [{} for _ in range(self.L)]
+        for j, edges in enumerate(self._edges):
+            for (a, b) in edges:
+                self._out_edges[j].setdefault(a, []).append(b)
+        self._analyze_channels()
+
+    # ------------------------------------------------------------- graph setup
+    def _extract_graph(self):
+        """Per-site FSM edges from the W tensors: (wL=a, wR=b) -> npc op [p, p*]."""
+        edges = []
+        for j in range(self.L):
+            W = self.H.get_W(j)
+            p_leg = W.get_leg('p')
+            Wn = np.asarray(W.transpose(['wL', 'wR', 'p', 'p*']).to_numpy())
+            DL, DR = Wn.shape[:2]
+            scale = max(float(np.max(np.abs(Wn))), 1e-300)
+            site_edges = {}
+            for a in range(DL):
+                for b in range(DR):
+                    op = Wn[a, b]
+                    if np.max(np.abs(op)) > 1e-14 * scale:
+                        op_npc = npc.Array.from_ndarray(
+                            op, [p_leg, p_leg.conj()], labels=['p', 'p*'],
+                            warn_wrong_sector=False)
+                        site_edges[(a, b)] = op_npc
+            edges.append(site_edges)
+        return edges
+
+    @staticmethod
+    def _id_factor(op):
+        """Return ``gamma`` if ``op == gamma * Id`` (gamma real > 0), else None."""
+        d = op.shape[0]
+        dense = np.asarray(op.to_numpy())
+        gamma = np.trace(dense).real / d
+        if gamma <= 0:
+            return None
+        if np.max(np.abs(dense - gamma * np.eye(d))) > 1e-12 * max(gamma, 1.):
+            return None
+        return gamma
+
+    def _analyze_channels(self):
+        """Unit-cell path counts -> cycles, their weights, and a topological order."""
+        L = self.L
+        D0 = self.H.get_W(0).get_leg('wL').ind_len
+        adj = []
+        for j in range(L):
+            DL = self.H.get_W(j).get_leg('wL').ind_len
+            DR = self.H.get_W(j).get_leg('wR').ind_len
+            A = np.zeros((DL, DR), np.int64)
+            for (a, b) in self._edges[j]:
+                A[a, b] = 1
+            adj.append(A)
+        # suffix path counts to each outer index (clipped at 2: we only need 0/1/many)
+        P = adj[0]
+        for j in range(1, L):
+            P = np.minimum(P @ adj[j], 2)
+        self._cycles = {}          # outer index -> path [n_0=a, n_1, ..., n_L=a]
+        self._cycle_weight = {}    # outer index -> product of identity factors
+        for a in range(D0):
+            if P[a, a] == 0:
+                continue
+            if P[a, a] > 1:
+                raise ValueError(f"channel {a} has multiple self-cycles")
+            # unique path recovery via suffix counts
+            suffix = [None] * (L + 1)
+            e_a = np.zeros(adj[-1].shape[1], np.int64)
+            e_a[a] = 1
+            suffix[L] = e_a
+            for j in range(L - 1, -1, -1):
+                suffix[j] = np.minimum(adj[j] @ suffix[j + 1], 2)
+            path = [a]
+            weight = 1.
+            for j in range(L):
+                cands = [b for b in self._out_edges[j].get(path[-1], ())
+                         if suffix[j + 1][b] > 0]
+                if len(cands) != 1:
+                    raise ValueError(f"ambiguous cycle through channel {a}")
+                b = cands[0]
+                gamma = self._id_factor(self._edges[j][(path[-1], b)])
+                if gamma is None:
+                    raise ValueError(f"non-identity operator on cycle of channel {a}")
+                weight *= gamma
+                path.append(b)
+            if weight > 1. + 1e-10:
+                raise ValueError(f"cycle of channel {a} has norm {weight} > 1")
+            self._cycles[a] = path
+            self._cycle_weight[a] = weight
+        ones = [a for a, w in self._cycle_weight.items() if abs(w - 1.) < 1e-12]
+        if len(ones) != 2:
+            raise ValueError(f"need exactly 2 unit-norm cycles, found {len(ones)}")
+        self._ones = set(ones)
+        # topological order of the collapsed channel graph (self-cycles removed)
+        R = (P > 0)
+        np.fill_diagonal(R, False)
+        indeg = R.sum(axis=0)
+        order, queue = [], sorted(np.nonzero(indeg == 0)[0].tolist())
+        indeg = indeg.copy()
+        while queue:
+            a = queue.pop(0)
+            order.append(a)
+            for b in np.nonzero(R[a])[0]:
+                indeg[b] -= 1
+                if indeg[b] == 0:
+                    queue.append(int(b))
+        if len(order) != D0:
+            raise ValueError("channel graph is cyclic beyond self-cycles")
+        # the two unit-norm cycles must open and close the order
+        if order[0] not in self._ones or order[-1] not in self._ones:
+            raise ValueError("unit-norm cycles not at the boundary of the order")
+        self._order = order
+
+    # --------------------------------------------------------- stable gauges
+    def _stable_forms(self, form):
+        """Exactly isometric A- or B-form unit-cell tensors, without ``S^-1``.
+
+        ``psi.get_B(i, 'A')`` on a B-stored MPS divides by the Schmidt values;
+        at noise-floor bonds (``S ~ 1e-11``) the resulting tensors are *not*
+        isometric (``|sum A^d A - 1| ~ 1e-1`` observed), which breaks the
+        transfer-matrix fixed-point structure this builder relies on.  Instead
+        we re-orthonormalize through the unit cell with QR/LQ on inversion-free
+        per-site tensors: the Q factors are isometric by construction and agree
+        with the true canonical forms up to rotations within noise-weight
+        subspaces.
+        """
+        psi = self.ket
+        L = self.L
+        target = psi._valid_forms[form]
+        if all(psi.form[i] == target for i in range(L)):
+            return [psi.get_B(i, form) for i in range(L)]
+        # inversion-free tensors T_i covering  SL . G_0 . S . G_1 ... G_{L-1} . SR
+        Ts = []
+        aL = 1.
+        for k in range(L):
+            st = psi.form[k]
+            if st is None:
+                raise ValueError("psi not in canonical form")
+            if k == L - 1:
+                aR = 1.
+            else:
+                nxt = psi.form[k + 1]
+                aR = 1. - nxt[0]
+                if st[1] > aR + 1e-12:
+                    aR = st[1]
+            Ts.append(psi.get_B(k, (aL, aR)))
+            aL = 1. - aR
+        out = []
+        if form == 'A':
+            X = None
+            for T in Ts:
+                M = T if X is None else npc.tensordot(X, T, axes=[['vR'], ['vL']])
+                M = M.combine_legs([['vL', 'p']], qconj=[+1])
+                Q, R = npc.qr(M, inner_labels=['vR', 'vL'], pos_diag_R=True)
+                out.append(Q.split_legs([0]))
+                X = R
+            # X ~ diag(SL[0]) up to noise rotations; dropped (trailing S of Th-chain)
+        else:
+            X = None
+            for T in reversed(Ts):
+                M = T if X is None else npc.tensordot(T, X, axes=[['vR'], ['vL']])
+                M = M.combine_legs([['p', 'vR']], qconj=[-1])
+                Xn, Q = npc.lq(M, inner_labels=['vR', 'vL'], pos_diag_L=True,
+                               inner_qconj=+1)
+                out.insert(0, Q.split_legs([1]))
+                X = Xn
+        return out
+
+    # ----------------------------------------------------------- contractions
+    def _contract_step(self, x, j, op, which):
+        """One site of the (generalized) transfer matrix on the 2-leg env `x`."""
+        ket = self._Ms[j]
+        bra = self._Mcs[j]
+        if which == 'LP':     # x legs (vR*, vR), move right
+            x = npc.tensordot(x, ket, axes=[['vR'], ['vL']])
+            x = npc.tensordot(x, op, axes=[['p'], ['p*']])
+            x = npc.tensordot(bra, x, axes=[['vL*', 'p*'], ['vR*', 'p']])
+            return x.itranspose(['vR*', 'vR'])
+        else:                 # x legs (vL*, vL), move left
+            x = npc.tensordot(ket, x, axes=[['vR'], ['vL']])
+            x = npc.tensordot(x, op, axes=[['p'], ['p*']])
+            x = npc.tensordot(x, bra, axes=[['vL*', 'p'], ['vR*', 'p*']])
+            return x.itranspose(['vL', 'vL*'])
+
+    def _tm_full(self, x, which):
+        """Plain MPS transfer matrix over the unit cell (identity ops)."""
+        sites = range(self.L) if which == 'LP' else range(self.L - 1, -1, -1)
+        for j in sites:
+            x = self._contract_step(x, j, self._Ids[j], which)
+        return x
+
+    def _tm_cycle(self, x, cycle, which):
+        """Transfer matrix along a cycle's edge operators."""
+        if which == 'LP':
+            for j in range(self.L):
+                x = self._contract_step(x, j, self._edges[j][(cycle[j], cycle[j + 1])],
+                                        which)
+        else:
+            for j in range(self.L - 1, -1, -1):
+                x = self._contract_step(x, j, self._edges[j][(cycle[j], cycle[j + 1])],
+                                        which)
+        return x
+
+    # ----------------------------------------------------------------- solves
+    def _gmres(self, op, b, options):
+        from ..linalg.krylov_based import GMRES
+        opts = {'N_min_gmres': 0, 'res': 1e-11, 'N_max_gmres': 30, 'restart': 20}
+        opts.update(options or {})
+        x, res = GMRES(op, b, b, opts).run()
+        if res > opts['res']:
+            logger.warning("env-builder GMRES: residual %.2e > tol %.2e",
+                           res, opts['res'])
+        return x
+
+    # -------------------------------------------------------------- main build
+    def init_LP_RP_iterative(self, which='both', calc_E=False, gmres_options=None,
+                             _subtraction_gauge='rho'):
+        """Construct converged LP/RP boundary environments (and energies).
+
+        Returns ``init_env_data`` dict (``init_LP, init_RP, age_LP, age_RP``);
+        with ``calc_E`` additionally ``(Es, E0)`` like
+        :meth:`MPOTransferMatrix.find_init_LP_RP`.
+        Reference: ``tenpy/networks/mpo.py:3373``.
+        """
+        names = ['RP', 'LP'] if which == 'both' else [which]
+        envs, Es = {}, {}
+        for name in names:
+            env, eps = self._build_one(name, gmres_options)
+            envs[name] = env
+            Es[name] = eps / self.L
+        init_env_data = {}
+        if 'LP' in envs:
+            init_env_data['init_LP'] = envs['LP']
+            init_env_data['age_LP'] = 0
+        if 'RP' in envs:
+            init_env_data['init_RP'] = envs['RP']
+            init_env_data['age_RP'] = 0
+        if not calc_E:
+            return init_env_data
+        Es_list = [Es.get('RP'), Es.get('LP')]
+        E0 = None
+        if which == 'both':
+            SL = self.ket.get_SL(0)
+            LP, RP = envs['LP'], envs['RP']
+            if isinstance(SL, npc.Array):
+                E0 = npc.tensordot(LP, SL, axes=[['vR'], ['vL']])
+                E0 = npc.tensordot(E0, SL.conj(), axes=[['vR*'], ['vL*']])
+                E0 = npc.tensordot(E0, RP, axes=[['vR', 'wR', 'vR*'],
+                                                 ['vL', 'wL', 'vL*']])
+            else:
+                SL = np.asarray(SL)
+                LPs = LP.copy(deep=False).iscale_axis(SL, 'vR')
+                LPs = LPs.iscale_axis(SL, 'vR*')
+                E0 = npc.tensordot(LPs, RP, axes=[['vR', 'wR', 'vR*'],
+                                                  ['vL', 'wL', 'vL*']])
+            E0 = complex(E0)
+        return init_env_data, Es_list, E0
+
+    def _build_one(self, name, gmres_options):
+        L = self.L
+        ket = self.ket
+        if name == 'LP':
+            form, labels = 'A', ['vR*', 'vR']
+            vleg = ket.get_B(0, 'A').get_leg('vL')
+            c0 = npc.diag(1., vleg, dtype=self.dtype, labels=labels)
+            S = ket.get_SL(0)
+            w_leg = self.H.get_W(0).get_leg('wL').conj()
+            w_label, axis_labels = 'wR', ['vR*', 'wR', 'vR']
+            order = self._order
+        else:
+            form, labels = 'B', ['vL', 'vL*']
+            vleg = ket.get_B(L - 1, 'B').get_leg('vR')
+            c0 = npc.diag(1., vleg.conj(), dtype=self.dtype, labels=labels)
+            S = ket.get_SR(L - 1)
+            w_leg = self.H.get_W(L - 1).get_leg('wR').conj()
+            w_label, axis_labels = 'wL', ['vL*', 'wL', 'vL']
+            order = list(reversed(self._order))
+        self._Ms = self._stable_forms(form)
+        self._Mcs = [M.conj() for M in self._Ms]
+        self._Ids = [npc.diag(1., ket.sites[i].leg, labels=['p', 'p*'])
+                     for i in range(L)]
+        if isinstance(S, npc.Array):
+            if name == 'LP':
+                rho = npc.tensordot(S, S.conj(), axes=[['vR'], ['vR*']])
+            else:
+                rho = npc.tensordot(S.conj(), S, axes=[['vL*'], ['vL']])
+            rho.iset_leg_labels(labels)
+        else:
+            S2 = np.asarray(S) ** 2
+            rho = npc.diag(S2, c0.legs[1].conj(), labels=labels)
+        grid = self._fresh_grid(name)
+        env_parts = []
+        eps = None
+        seen_one = False
+        for j_outer in order:
+            cyc = self._cycles.get(j_outer)
+            if j_outer in self._ones:
+                if not seen_one:
+                    seen_one = True
+                    E = c0
+                else:
+                    C = self._ctot_loop(grid, cyc, name)
+                    eps = float(np.real(complex(
+                        npc.inner(rho, C, axes='range', do_conj=True))))
+                    b = C - c0 * eps
+                    op = _GeometricSolveOp(
+                        lambda x: self._tm_full(x, name), self.dtype,
+                        c0=c0, rho=rho)
+                    E = self._gmres(op, b, gmres_options)
+            elif cyc is not None:
+                C = self._ctot_loop(grid, cyc, name)
+                op = _GeometricSolveOp(lambda x, c=cyc: self._tm_cycle(x, c, name),
+                                       self.dtype)
+                E = self._gmres(op, C, gmres_options)
+            else:
+                node = grid[L - 1][j_outer] if name == 'LP' else grid[0][j_outer]
+                if node[1]:
+                    raise ValueError("channel %d has pending inflow %r — "
+                                     "inconsistent topological order"
+                                     % (j_outer, node[1]))
+                E = node[0]
+                if E is None:
+                    E = npc.zeros(c0.legs, dtype=self.dtype, labels=labels)
+            if npc.norm(E) > 0.:
+                env_parts.append(E.add_leg(w_leg, j_outer, axis=1, label=w_label))
+            self._push(grid, E, j_outer, name)
+        env = env_parts[0]
+        for part in env_parts[1:]:
+            env = env + part
+        env.itranspose(axis_labels)
+        return env, eps
+
+    # --------------------------------------------------------- grid machinery
+    def _fresh_grid(self, name):
+        """``grid[j][b] = [partial_sum or None, pending ingoing indices]``.
+
+        For LP, ``grid[j]`` lives on the bond right of site j (indexed by wR of
+        site j); for RP on the bond left of site j (indexed by wL of site j).
+        """
+        L = self.L
+        grid = []
+        for j in range(L):
+            if name == 'LP':
+                D = self.H.get_W(j).get_leg('wR').ind_len
+                layer = [[None, set()] for _ in range(D)]
+                for (a, b) in self._edges[j]:
+                    layer[b][1].add(a)
+            else:
+                D = self.H.get_W(j).get_leg('wL').ind_len
+                layer = [[None, set()] for _ in range(D)]
+                for (a, b) in self._edges[j]:
+                    layer[a][1].add(b)
+            grid.append(layer)
+        return grid
+
+    def _push(self, grid, x, j_outer, name):
+        """Propagate channel value `x` through the unit cell, filling `grid`."""
+        L = self.L
+        ready = [(x, j_outer)]
+        sites = range(L) if name == 'LP' else range(L - 1, -1, -1)
+        for j in sites:
+            nxt = []
+            for val, i in ready:
+                if name == 'LP':
+                    targets = [(i, b) for b in self._out_edges[j].get(i, ())]
+                else:
+                    targets = [(a, i) for (a, b) in self._edges[j] if b == i]
+                for (a, b) in targets:
+                    contrib = self._contract_step(val, j, self._edges[j][(a, b)],
+                                                  name)
+                    tgt, src = (b, a) if name == 'LP' else (a, b)
+                    node = grid[j][tgt]
+                    node[0] = contrib if node[0] is None else node[0] + contrib
+                    node[1].discard(src)
+                    if not node[1]:
+                        nxt.append((node[0], tgt))
+            ready = nxt
+
+    def _ctot_loop(self, grid, cycle, name):
+        """Total non-cycle inflow into a cycle channel after one unit cell."""
+        L = self.L
+        c = None
+        if name == 'LP':
+            for j in range(L):
+                if c is not None:
+                    c = self._contract_step(c, j,
+                                            self._edges[j][(cycle[j], cycle[j + 1])],
+                                            name)
+                nxt = grid[j][cycle[j + 1]][0]
+                if nxt is not None:
+                    c = nxt if c is None else c + nxt
+        else:
+            for j in range(L - 1, -1, -1):
+                if c is not None:
+                    c = self._contract_step(c, j,
+                                            self._edges[j][(cycle[j], cycle[j + 1])],
+                                            name)
+                nxt = grid[j][cycle[j]][0]
+                if nxt is not None:
+                    c = nxt if c is None else c + nxt
+        if c is None:
+            raise ValueError("cycle channel with no inflow")
+        return c

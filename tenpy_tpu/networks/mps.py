@@ -598,17 +598,34 @@ class MPS:
     def get_theta(self, i, n=2, cutoff=1e-16, formL=1., formR=1.):
         """n-site wavefunction: S--G--...--G--S with labels vL, p0...p{n-1}, vR.
 
-        Reference: ``mps.py:3041``.
+        Each interior bond's Schmidt factor is attached to whichever side's
+        *stored* form already carries it, so mid-sweep thetas (mixed A/B
+        storage) are built without any ``S^-1`` — inverting noise-floor
+        Schmidt values (e.g. bonds kept by ``svd_min ~ 1e-12``) amplifies
+        numerical noise catastrophically.  Reference: ``mps.py:3041``.
         """
         i = self._to_valid_index(i)
         if n == 1:
             return self.get_B(i, (formL, formR), cutoff=cutoff, label_p=0)
-        theta = self.get_B(i, (formL, 1.), cutoff=cutoff, label_p=0)
-        for k in range(1, n):
-            j = i + k
-            form = (0., 1.) if k < n - 1 else (0., formR)
-            B = self.get_B(j, form, cutoff=cutoff, label_p=k)
-            theta = npc.tensordot(theta, B, axes=[['vR'], ['vL']])
+        theta = None
+        aL = formL
+        for k in range(n):
+            j = self._to_valid_index(i + k)
+            st = self.form[j]
+            if k == n - 1:
+                aR = formR
+            else:
+                nxt = self.form[self._to_valid_index(i + k + 1)]
+                a_next = nxt[0] if nxt is not None else 0.
+                aR = 1. - a_next
+                if st is not None and st[1] > aR + 1e-12:
+                    # keep the stored S power on this side; the (rare) inversion
+                    # then happens on the next site's left leg instead
+                    aR = st[1]
+            B = self.get_B(i + k, (aL, aR), cutoff=cutoff, label_p=k)
+            theta = B if theta is None else \
+                npc.tensordot(theta, B, axes=[['vR'], ['vL']])
+            aL = 1. - aR
         return theta
 
     # ---------------------------------------------------------------- form conversion
@@ -655,6 +672,40 @@ class MPS:
                                   dtype=rho_R.dtype, labels=['vR', 'vR*'])
             res[i, 1] = npc.norm(rho_R - rho_R2)
         return res
+
+    def gauge_consistency_error(self):
+        """Worst-case isometry error of the *converted* canonical forms.
+
+        :meth:`norm_test` weighs everything by the Schmidt values and therefore
+        cannot see garbage in noise-floor Schmidt directions; but any consumer
+        that needs the opposite canonical form (``get_B(i, 'A')`` on a B-stored
+        MPS divides by S!) amplifies exactly that garbage to O(1).  This check
+        measures it directly: convert each tensor to the form opposite to its
+        stored one and return the maximal deviation from an exact isometry.
+        States fresh from an SVD-based sweep can carry errors of order
+        ``lanczos_residual / S_min`` here while passing :meth:`norm_test` at
+        1e-15 — such states must be re-canonicalized (with noise-floor
+        compression) before transfer-matrix-based environment initialization
+        or segment embedding.
+        """
+        p = list(self._p_label)
+        pc = [l + '*' for l in p]
+        err = 0.
+        for i in range(self.L):
+            st = self.form[i]
+            if st is None:
+                return np.inf
+            if isinstance(self.get_SL(i), npc.Array) or \
+                    isinstance(self.get_SR(i), npc.Array):
+                continue  # matrix-valued mixer bond: forms not comparable
+            if st[0] >= 1. - 1e-12 and st[1] <= 1e-12:  # stored 'A': check B
+                B = self.get_B(i, 'B')
+                c = npc.tensordot(B, B.conj(), axes=[p + ['vR'], pc + ['vR*']])
+            else:  # stored B/Th/G: check the A-form
+                A = self.get_B(i, 'A')
+                c = npc.tensordot(A.conj(), A, axes=[['vL*'] + pc, ['vL'] + p])
+            err = max(err, float(npc.norm(c - npc.eye_like(c, 0))))
+        return err
 
     def entanglement_entropy(self, n=1, bonds=None, for_matrix_S=False):
         """Von Neumann (n=1) / Renyi entropy on each bond. Reference: ``mps.py:3777``."""
@@ -1039,8 +1090,14 @@ class MPS:
             # idempotence: an already-canonical state stays untouched.  (The
             # gauge iteration can cycle indefinitely between equivalent gauges
             # when the Schmidt spectrum has exact degeneracies, so entering it
-            # needlessly risks spurious non-convergence.)
-            if float(np.max(self.norm_test())) < 1e-12:
+            # needlessly risks spurious non-convergence.)  The gauge-consistency
+            # check catches states that pass norm_test but carry garbage in
+            # noise-floor Schmidt directions (S-inverted form conversions blow
+            # up); those MUST go through the compression rescue below.
+            # (threshold 1e-6: exact states with noise-floor S measure
+            # ~eps/S_min ~ 1e-6 here; Lanczos-garbage directions measure O(1))
+            if float(np.max(self.norm_test())) < 1e-12 and \
+                    self.gauge_consistency_error() < 1e-6:
                 return self
         Ms = self._stripped_tensors(pinv_cutoff=1e-8)
         if all(f is not None for f in self.form):
