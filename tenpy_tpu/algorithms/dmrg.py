@@ -320,7 +320,6 @@ class DMRGEngine(IterativeSweeps):
         if device_K is not None:
             return True
         import jax
-        from .mps_common import MAX_JIT_BLOCKS
         if jax.default_backend() == 'cpu':
             return False
         if eff.N < DEVICE_LANCZOS_THRESHOLD:
@@ -331,37 +330,42 @@ class DMRGEngine(IterativeSweeps):
             ramp_end = max(self.chi_list.keys())
             if self.sweeps < ramp_end + 1:
                 return False
-        # tracing a K-step scan over thousands of blocks would take minutes
-        n_blocks = eff.LP.stored_blocks + eff.RP.stored_blocks
-        return n_blocks <= 2 * MAX_JIT_BLOCKS
+        # the packed layout keeps trace size independent of the block count —
+        # no block cap (the round-1 MAX_JIT_BLOCKS limit applied to the
+        # per-block pytree path only)
+        return True
 
     def _diag_device_lanczos(self, theta_guess):
-        """Fused K-step Lanczos on padded blocks; one device round trip."""
+        """Fused K-step Lanczos on bucket-packed blocks; one device round trip.
+
+        The packed layout (:mod:`~tenpy_tpu.linalg.packed`) keeps trace size
+        independent of the charge-block count, so this path scales to
+        block-heavy models (Hubbard U(1)xU(1)) that the per-block pytree path
+        could not compile.
+        """
         import jax
-        from ..linalg.padding import pad_leg, pad_array, unpad_array
-        from .mps_common import lanczos_K_2site
+        from ..linalg import packed as pk
+        from .mps_common import lanczos_K_2site_packed, BUCKET_MULTIPLE
         eff = self.eff_H
         K = self.lanczos_params.get('device_K', None)
         if not K:
             K = self.lanczos_params.get('N_max', 10, int)
         K = int(K)
-        if not hasattr(eff, '_device_padded'):
-            LPp = pad_array(eff.LP, {
-                'vR': pad_leg(eff.LP.get_leg('vR'))[0],
-                'vR*': pad_leg(eff.LP.get_leg('vR*'))[0]})
-            RPp = pad_array(eff.RP, {
-                'vL': pad_leg(eff.RP.get_leg('vL'))[0],
-                'vL*': pad_leg(eff.RP.get_leg('vL*'))[0]})
-            eff._device_padded = (LPp, RPp)
-        LPp, RPp = eff._device_padded
-        legL = theta_guess.get_leg('vL')
-        legR = theta_guess.get_leg('vR')
-        theta_p = pad_array(theta_guess, {'vL': pad_leg(legL)[0],
-                                          'vR': pad_leg(legR)[0]})
-        E0, th = lanczos_K_2site(LPp, RPp, eff.W0, eff.W1, theta_p, K)
+        VIRT = ('vL', 'vR', 'vL*', 'vR*')
+        if not hasattr(eff, '_device_packed'):
+            LPp = pk.pack(eff.LP, multiple=BUCKET_MULTIPLE, pad_labels=VIRT)
+            RPp = pk.pack(eff.RP, multiple=BUCKET_MULTIPLE, pad_labels=VIRT)
+            W0p = pk.pack(eff.W0, pad=False)
+            W1p = pk.pack(eff.W1, pad=False)
+            eff._device_packed = (LPp, RPp, W0p, W1p)
+        LPp, RPp, W0p, W1p = eff._device_packed
+        theta_p = pk.pack(theta_guess, multiple=BUCKET_MULTIPLE,
+                          pad_labels=VIRT)
+        E0, th = lanczos_K_2site_packed(LPp, RPp, W0p, W1p, theta_p, K)
         th = jax.device_get(th)
         E0 = float(jax.device_get(E0))
-        theta = unpad_array(th, {'vL': legL, 'vR': legR})
+        theta = pk.unpack(th, orig_legs=[theta_guess.get_leg(l)
+                                         for l in th.get_leg_labels()])
         ov_change = 1. - abs(complex(npc.inner(theta_guess.conj(), theta,
                                                axes='range'))) \
             / max(float(npc.norm(theta_guess)), 1e-300)

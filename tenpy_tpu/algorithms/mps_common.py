@@ -59,6 +59,10 @@ MAX_JIT_BLOCKS = int(os.environ.get('TENPY_TPU_MAX_JIT_BLOCKS', '256'))
 # compile cost; below this, the host numpy path wins.
 DEVICE_LANCZOS_THRESHOLD = int(os.environ.get('TENPY_TPU_DEVICE_LANCZOS_N',
                                               str(1 << 20)))
+# Sector sizes of virtual legs are rounded up to this multiple on the packed
+# device path (see linalg/packed.py): collapses jit-cache keys across sweeps
+# and aligns GEMM shapes with the MXU tiles.
+BUCKET_MULTIPLE = int(os.environ.get('TENPY_TPU_BUCKET_MULTIPLE', '64'))
 
 
 def _matvec_2site_plain_impl(LP, RP, W0, W1, theta):
@@ -171,6 +175,77 @@ def lanczos_K_2site(LP, RP, W0, W1, theta0, K):
     if _lanczos_K_2site_jit is None:
         _lanczos_K_2site_jit = jax.jit(_lanczos_K_2site_impl, static_argnums=5)
     return _lanczos_K_2site_jit(LP, RP, W0, W1, theta0, K)
+
+
+def _matvec_2site_packed(LPp, RPp, W0p, W1p, v):
+    """Two-site effective-H matvec on :class:`~tenpy_tpu.linalg.packed.PackedArray`s."""
+    from ..linalg import packed as pk
+    x = pk.tensordot(LPp, v, axes=(['vR'], ['vL']))
+    x = pk.tensordot(x, W0p, axes=(['wR', 'p0'], ['wL', 'p0*']))
+    x = pk.tensordot(x, W1p, axes=(['wR', 'p1'], ['wL', 'p1*']))
+    x = pk.tensordot(x, RPp, axes=(['wR', 'vR'], ['wL', 'vL']))
+    x = x.replace_labels(['vR*', 'vL*'], ['vL', 'vR'])
+    return x.transpose(['vL', 'p0', 'p1', 'vR'])
+
+
+def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K):
+    """K Lanczos steps + Ritz ground state on bucket-packed blocks.
+
+    Unlike :func:`_lanczos_K_2site_impl` (per-block pytree leaves, capped by
+    ``MAX_JIT_BLOCKS``), the packed layout keeps the traced program size
+    independent of the number of charge blocks — this is the device path for
+    block-heavy models (Hubbard cylinder U(1)xU(1), the BASELINE.json north
+    star).  Structures are complete and bucket-padded, so the ``lax.scan``
+    carry is structure-stable by construction.
+    """
+    import jax
+    from jax import lax
+    from ..linalg import packed as pk
+
+    nrm0 = pk.norm(theta0)
+    v0 = theta0 * (1. / nrm0)
+
+    def matvec(v):
+        return _matvec_2site_packed(LPp, RPp, W0p, W1p, v)
+
+    def body(carry, _):
+        v_prev, v, beta_prev = carry
+        hw = matvec(v)
+        alpha = jnp.real(pk.inner(v.conj(), hw))
+        hw = hw - v * alpha
+        hw = hw - v_prev * beta_prev
+        beta = pk.norm(hw)
+        ok = beta > 1e-14
+        inv = jnp.where(ok, 1. / jnp.where(ok, beta, 1.), 0.)
+        v_next = hw * inv
+        return (v, v_next, jnp.where(ok, beta, 0.)), (v, alpha, beta)
+
+    real_dtype = jnp.zeros((), theta0.dtype).real.dtype
+    zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
+    (_, _, _), (vs, alphas, betas) = lax.scan(
+        body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
+    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    c = evecs[:, 0]
+    theta_gs = jax.tree_util.tree_map(
+        lambda stacked: jnp.tensordot(c.astype(stacked.dtype), stacked,
+                                      axes=[[0], [0]]), vs)
+    nrm = pk.norm(theta_gs)
+    theta_gs = theta_gs * (1. / nrm)
+    return evals[0], theta_gs
+
+
+_lanczos_K_2site_packed_jit = None
+
+
+def lanczos_K_2site_packed(LPp, RPp, W0p, W1p, theta0, K):
+    """Jitted wrapper of :func:`_lanczos_K_2site_packed_impl` (K static)."""
+    global _lanczos_K_2site_packed_jit
+    import jax
+    if _lanczos_K_2site_packed_jit is None:
+        _lanczos_K_2site_packed_jit = jax.jit(_lanczos_K_2site_packed_impl,
+                                              static_argnums=5)
+    return _lanczos_K_2site_packed_jit(LPp, RPp, W0p, W1p, theta0, K)
 
 
 def _matvec_2site_combined_impl(LHeff, RHeff, theta):

@@ -1,0 +1,493 @@
+r"""Bucket-packed block storage: the device-resident tensor format.
+
+A charge-blocked :class:`~tenpy_tpu.linalg.np_conserved.Array` stores one
+(host or device) buffer per charge block.  Under ``jax.jit`` that makes the
+traced program — and the pytree — scale with the *number of blocks*: a
+U(1)xU(1) Hubbard-cylinder tensor at chi=2048 has tens of thousands of tiny
+blocks, so per-block tracing is hopeless (the round-1 device path was capped
+at ``MAX_JIT_BLOCKS=256`` for exactly this reason).
+
+:class:`PackedArray` instead groups all blocks of one (size-bucketed, see
+:mod:`~tenpy_tpu.linalg.padding`) shape into ONE stacked device buffer
+``(N_blocks_of_shape, *shape)``.  The pytree has a handful of leaves
+regardless of the charge structure, and a ``tensordot`` lowers to one
+``gather -> batched matmul -> segment-sum -> scatter-add`` chain per
+(shape_a, shape_b) bucket pair — the TPU-native analogue of the reference's
+``CblasGemmBatch`` (``tenpy/linalg/_npc_helper.pyx:151,1498``), with the
+charge-sector matching hoisted to a host-side cached plan
+(``_npc_helper.pyx:1382 _tensordot_match_charges``).
+
+Exactness: padding rows/columns are zero, so matmuls, inner products, norms
+and linear combinations are exact; structures are kept *complete* (every
+charge-allowed block present, zeros included) so jitted iterations
+(``lax.scan`` Lanczos) have structure-stable carries.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import np_conserved as npc
+from .charges import QTYPE
+from .padding import pad_leg
+
+__all__ = ['PackedArray', 'pack', 'unpack', 'tensordot', 'inner', 'norm',
+           'complete_structure']
+
+
+class PackedArray:
+    """Charge-blocked tensor with shape-bucketed stacked device storage.
+
+    Attributes
+    ----------
+    legs : tuple of LegCharge
+        (Padded) legs.
+    qtotal : tuple
+    shapes : tuple of tuple
+        The distinct block shapes, sorted.
+    qdatas : tuple of np.ndarray
+        ``qdatas[s]`` has shape ``(N_s, rank)``: the charge-sector rows of the
+        blocks stacked in ``data[s]`` (row-lexsorted, read-only).
+    data : list of jnp.ndarray
+        ``data[s].shape == (N_s,) + shapes[s]``.
+
+    The *original* (unpadded) legs are deliberately NOT carried along: plans
+    are cached on the padded structure, and two different original legs can
+    pad to the same padded leg — callers keep the original legs themselves
+    and pass them to :func:`unpack`.
+    """
+
+    __slots__ = ('legs', 'qtotal', '_labels', 'shapes', 'qdatas', 'data',
+                 'dtype')
+
+    def __init__(self, legs, qtotal, labels, shapes, qdatas, data, dtype):
+        self.legs = tuple(legs)
+        self.qtotal = tuple(int(q) for q in np.asarray(qtotal).ravel())
+        self._labels = tuple(labels)
+        self.shapes = tuple(tuple(int(x) for x in s) for s in shapes)
+        self.qdatas = tuple(qdatas)
+        self.data = list(data)
+        self.dtype = jnp.dtype(dtype)
+
+    # ------------------------------------------------------------- properties
+    @property
+    def rank(self):
+        return len(self.legs)
+
+    @property
+    def n_blocks(self):
+        return sum(q.shape[0] for q in self.qdatas)
+
+    @property
+    def n_groups(self):
+        return len(self.shapes)
+
+    def get_leg_labels(self):
+        return list(self._labels)
+
+    def get_leg_index(self, label):
+        if isinstance(label, (int, np.integer)):
+            return int(label)
+        return self._labels.index(label)
+
+    def struct_sig(self):
+        """Hashable signature of the static structure (for plan caches)."""
+        return (self.legs, self.qtotal, self.shapes,
+                tuple(q.tobytes() for q in self.qdatas),
+                tuple(q.shape for q in self.qdatas))
+
+    # ------------------------------------------------------------ label ops
+    def replace_labels(self, old, new):
+        mapping = dict(zip(old, new))
+        labels = tuple(mapping.get(l, l) for l in self._labels)
+        return PackedArray(self.legs, self.qtotal, labels, self.shapes,
+                           self.qdatas, self.data, self.dtype)
+
+    def transpose(self, perm):
+        """New PackedArray with permuted legs; `perm` indices or labels."""
+        perm = [self.get_leg_index(p) for p in perm]
+        if perm == list(range(self.rank)):
+            return self
+        legs = [self.legs[i] for i in perm]
+        labels = tuple(self._labels[i] for i in perm)
+        dperm = [0] + [1 + i for i in perm]
+        # permuted shape groups can collide -> merge
+        merged = {}
+        for s, (shape, q, d) in enumerate(zip(self.shapes, self.qdatas,
+                                              self.data)):
+            new_shape = tuple(shape[i] for i in perm)
+            new_q = np.ascontiguousarray(q[:, perm])
+            new_d = jnp.transpose(d, dperm)
+            merged.setdefault(new_shape, []).append((new_q, new_d))
+        shapes, qdatas, data = [], [], []
+        for shape in sorted(merged):
+            qs = np.concatenate([x[0] for x in merged[shape]], axis=0)
+            ds = merged[shape][0][1] if len(merged[shape]) == 1 else \
+                jnp.concatenate([x[1] for x in merged[shape]], axis=0)
+            order = np.lexsort(qs.T[::-1])
+            if not np.array_equal(order, np.arange(len(order))):
+                qs = qs[order]
+                ds = ds[np.asarray(order)]
+            qs.setflags(write=False)
+            shapes.append(shape)
+            qdatas.append(qs)
+            data.append(ds)
+        return PackedArray(legs, self.qtotal, labels, shapes, qdatas, data,
+                           self.dtype)
+
+    def conj(self):
+        """Complex conjugate; flips leg qconj and star-flips labels."""
+        legs = tuple(l.conj() for l in self.legs)
+        labels = tuple(npc._conj_label(l) for l in self._labels)
+        chinfo = self.legs[0].chinfo
+        qtotal = tuple(int(x) for x in
+                       chinfo.make_valid(-np.asarray(self.qtotal, QTYPE)))
+        data = [jnp.conj(d) for d in self.data]
+        return PackedArray(legs, qtotal, labels, self.shapes, self.qdatas,
+                           data, self.dtype)
+
+    # ----------------------------------------------------------- arithmetic
+    def _same_struct(self, other):
+        return (self.legs == other.legs and self.qtotal == other.qtotal
+                and self.shapes == other.shapes
+                and all(np.array_equal(p, q)
+                        for p, q in zip(self.qdatas, other.qdatas)))
+
+    def __add__(self, other):
+        if isinstance(other, PackedArray):
+            assert self._same_struct(other), "PackedArray structure mismatch"
+            data = [x + y for x, y in zip(self.data, other.data)]
+            return self._with_data(data)
+        return NotImplemented
+
+    def __sub__(self, other):
+        if isinstance(other, PackedArray):
+            assert self._same_struct(other), "PackedArray structure mismatch"
+            data = [x - y for x, y in zip(self.data, other.data)]
+            return self._with_data(data)
+        return NotImplemented
+
+    def __mul__(self, scalar):
+        return self._with_data([d * scalar for d in self.data])
+
+    __rmul__ = __mul__
+
+    def _with_data(self, data):
+        return PackedArray(self.legs, self.qtotal, self._labels, self.shapes,
+                           self.qdatas, data, data[0].dtype if data else
+                           self.dtype)
+
+
+def _packed_flatten(p: PackedArray):
+    aux = (p.legs, p.qtotal, p._labels, p.shapes,
+           tuple(q.tobytes() for q in p.qdatas),
+           tuple(q.shape for q in p.qdatas), str(p.dtype))
+    return list(p.data), aux
+
+
+def _packed_unflatten(aux, children):
+    legs, qtotal, labels, shapes, qbytes, qshapes, dtype = aux
+    qdatas = []
+    for b, s in zip(qbytes, qshapes):
+        q = np.frombuffer(b, QTYPE).reshape(s).copy()
+        q.setflags(write=False)
+        qdatas.append(q)
+    res = PackedArray.__new__(PackedArray)
+    res.legs = legs
+    res.qtotal = qtotal
+    res._labels = labels
+    res.shapes = shapes
+    res.qdatas = tuple(qdatas)
+    res.data = list(children)
+    res.dtype = jnp.dtype(dtype)
+    return res
+
+
+jax.tree_util.register_pytree_node(PackedArray, _packed_flatten,
+                                   _packed_unflatten)
+
+
+# ------------------------------------------------------------------ structure
+@lru_cache(maxsize=512)
+def complete_structure(legs, qtotal):
+    """All charge-allowed qdata rows for `legs`/`qtotal`, grouped by shape.
+
+    Returns ``(shapes, qdatas)`` with shapes sorted and rows lexsorted.
+    Cached: legs/qtotal are hashable static metadata.
+    """
+    chinfo = legs[0].chinfo
+    qtotal = np.asarray(qtotal, QTYPE)
+    rank = len(legs)
+    # meet-in-the-middle: enumerate left/right halves and match partial sums
+    kL = max(1, rank // 2)
+    left = {}
+    for row in itertools.product(*[range(l.block_number) for l in legs[:kL]]):
+        q = np.zeros(chinfo.qnumber, QTYPE)
+        for l, s in zip(legs[:kL], row):
+            q += np.asarray(l.charges[s], QTYPE) * l.qconj
+        left.setdefault(tuple(chinfo.make_valid(q)), []).append(row)
+    groups = {}
+    for row in itertools.product(*[range(l.block_number) for l in legs[kL:]]):
+        q = np.zeros(chinfo.qnumber, QTYPE)
+        for l, s in zip(legs[kL:], row):
+            q += np.asarray(l.charges[s], QTYPE) * l.qconj
+        need = tuple(chinfo.make_valid(qtotal - q))
+        for lrow in left.get(need, ()):
+            full = lrow + row
+            shape = tuple(int(l.slices[s + 1] - l.slices[s])
+                          for l, s in zip(legs, full))
+            groups.setdefault(shape, []).append(full)
+    shapes = tuple(sorted(groups))
+    qdatas = []
+    for shape in shapes:
+        q = np.array(sorted(groups[shape]), QTYPE).reshape(len(groups[shape]),
+                                                           rank)
+        q.setflags(write=False)
+        qdatas.append(q)
+    return shapes, tuple(qdatas)
+
+
+def pack(a, multiple=64, pad=True, complete=True, pad_labels=None):
+    """Array -> PackedArray (host-side; call at the jit boundary).
+
+    With ``pad``, every leg's sector sizes are rounded up to bucket sizes
+    (zero padding); ``pad_labels`` restricts padding to the given leg labels
+    (legs contracted against unpadded tensors — physical/MPO legs — must stay
+    exact).  With ``complete``, every charge-allowed block is present (zeros),
+    so downstream jitted programs see a canonical, stable structure.
+    """
+    if pad:
+        padded = []
+        for leg, lbl in zip(a.legs, a.get_leg_labels()):
+            if pad_labels is not None and lbl not in pad_labels:
+                padded.append(leg)
+                continue
+            pleg, _ = pad_leg(leg, multiple)
+            padded.append(pleg)
+        legs = tuple(padded)
+    else:
+        legs = tuple(a.legs)
+    qtotal = tuple(int(q) for q in np.asarray(a.qtotal).ravel())
+    if complete:
+        shapes, qdatas = complete_structure(legs, qtotal)
+    else:
+        groups = {}
+        for row in a._qdata:
+            shape = tuple(int(l.slices[s + 1] - l.slices[s])
+                          for l, s in zip(legs, row))
+            groups.setdefault(shape, []).append(tuple(int(x) for x in row))
+        shapes = tuple(sorted(groups))
+        qdatas = []
+        for shape in shapes:
+            q = np.array(sorted(groups[shape]), QTYPE).reshape(
+                len(groups[shape]), len(legs))
+            q.setflags(write=False)
+            qdatas.append(q)
+    pos = {}
+    for s, q in enumerate(qdatas):
+        for i, row in enumerate(q):
+            pos[tuple(int(x) for x in row)] = (s, i)
+    np_dtype = np.dtype(str(a.dtype))
+    bufs = [np.zeros((q.shape[0],) + shape, np_dtype)
+            for shape, q in zip(shapes, qdatas)]
+    for row, block in zip(a._qdata, a._data):
+        key = tuple(int(x) for x in row)
+        if key not in pos:
+            raise ValueError("stored block not charge-allowed?")
+        s, i = pos[key]
+        block = np.asarray(block)
+        bufs[s][(i,) + tuple(slice(0, d) for d in block.shape)] = block
+    data = [jnp.asarray(b) for b in bufs]
+    return PackedArray(legs, qtotal, tuple(a.get_leg_labels()), shapes,
+                       qdatas, data, a.dtype)
+
+
+def unpack(p, orig_legs=None, purge=True):
+    """PackedArray -> Array (host-side), slicing padding away.
+
+    ``orig_legs``: the unpadded legs (in p's current leg order); default: keep
+    the padded legs.
+    """
+    legs = tuple(orig_legs) if orig_legs is not None else p.legs
+    res = npc.Array(list(legs), p.dtype, np.asarray(p.qtotal, QTYPE),
+                    list(p._labels))
+    rows = []
+    blocks = []
+    for shape, q, d in zip(p.shapes, p.qdatas, p.data):
+        d = np.asarray(d)
+        for i, row in enumerate(q):
+            orig_shape = tuple(int(l.slices[s + 1] - l.slices[s])
+                               for l, s in zip(legs, row))
+            blk = d[(i,) + tuple(slice(0, n) for n in orig_shape)]
+            if purge and not np.any(blk):
+                continue
+            rows.append(row)
+            blocks.append(np.ascontiguousarray(blk))
+    qdata = np.array(rows, QTYPE).reshape(len(rows), p.rank)
+    res._set_blocks(qdata, blocks)
+    return res
+
+
+# ----------------------------------------------------------------- tensordot
+_PACKED_PLAN_CACHE = {}
+
+
+class _PackedPlan:
+    __slots__ = ('out_legs', 'out_qtotal', 'out_shapes', 'out_qdatas',
+                 'out_sizes', 'groups')
+
+    def __init__(self, out_legs, out_qtotal, out_shapes, out_qdatas,
+                 out_sizes, groups):
+        self.out_legs = out_legs
+        self.out_qtotal = out_qtotal
+        self.out_shapes = out_shapes      # tuple of shapes
+        self.out_qdatas = out_qdatas      # tuple of row arrays
+        self.out_sizes = out_sizes        # N per out group
+        # groups: list of (sa, sb, so, mkn, a_pos, b_pos, o_uniq, o_inv)
+        self.groups = groups
+
+
+def _packed_plan(a, b, n_axes):
+    key = (a.struct_sig(), b.struct_sig(), n_axes)
+    plan = _PACKED_PLAN_CACHE.get(key)
+    if plan is not None:
+        return plan
+    ra, rb = a.rank, b.rank
+    ka = ra - n_axes
+    chinfo = a.legs[0].chinfo
+    out_legs = a.legs[:ka] + b.legs[n_axes:]
+    out_qtotal = tuple(int(x) for x in chinfo.make_valid(
+        np.asarray(a.qtotal, QTYPE) + np.asarray(b.qtotal, QTYPE)))
+    out_shapes, out_qdatas = complete_structure(out_legs, out_qtotal)
+    out_pos = {}
+    for s, q in enumerate(out_qdatas):
+        for i, row in enumerate(q):
+            out_pos[tuple(int(x) for x in row)] = (s, i)
+    # index b rows by contracted-sector tuple
+    b_by_c = {}
+    for sb, q in enumerate(b.qdatas):
+        for j, row in enumerate(q):
+            b_by_c.setdefault(tuple(row[:n_axes]), []).append((sb, j, row))
+    tasks = {}   # (sa, sb) -> lists
+    for sa, (shape_a, qa) in enumerate(zip(a.shapes, a.qdatas)):
+        m = int(np.prod(shape_a[:ka], dtype=np.int64)) if ka else 1
+        k = int(np.prod(shape_a[ka:], dtype=np.int64)) if n_axes else 1
+        for i, arow in enumerate(qa):
+            c_sec = tuple(arow[ka:])
+            for (sb, j, brow) in b_by_c.get(c_sec, ()):
+                out_row = tuple(arow[:ka]) + tuple(brow[n_axes:])
+                so, oi = out_pos[out_row]
+                tasks.setdefault((sa, sb, so), []).append((i, j, oi))
+    groups = []
+    for (sa, sb, so), lst in sorted(tasks.items()):
+        shape_a, shape_b = a.shapes[sa], b.shapes[sb]
+        m = int(np.prod(shape_a[:ka], dtype=np.int64)) if ka else 1
+        kk = int(np.prod(shape_a[ka:], dtype=np.int64)) if n_axes else 1
+        n = int(np.prod(shape_b[n_axes:], dtype=np.int64)) if rb - n_axes else 1
+        a_pos = np.array([x[0] for x in lst], np.int32)
+        b_pos = np.array([x[1] for x in lst], np.int32)
+        o_pos = np.array([x[2] for x in lst], np.int32)
+        o_uniq, o_inv = np.unique(o_pos, return_inverse=True)
+        groups.append((sa, sb, so, (m, kk, n), a_pos, b_pos,
+                       o_uniq.astype(np.int32), o_inv.astype(np.int32)))
+    out_sizes = tuple(q.shape[0] for q in out_qdatas)
+    plan = _PackedPlan(out_legs, out_qtotal, out_shapes, out_qdatas,
+                       out_sizes, groups)
+    if len(_PACKED_PLAN_CACHE) > 2048:
+        # drop ~half (FIFO-ish): wholesale clear would thrash chi ramps
+        for k_old in list(_PACKED_PLAN_CACHE)[:1024]:
+            del _PACKED_PLAN_CACHE[k_old]
+    _PACKED_PLAN_CACHE[key] = plan
+    return plan
+
+
+def tensordot(a, b, axes):
+    """Packed tensordot; ``axes=(labels_a, labels_b)`` or int.
+
+    One ``gather -> batched matmul -> segment-sum -> scatter-add`` chain per
+    (shape_a, shape_b) bucket pair; trace size is independent of the number of
+    charge blocks.
+    """
+    if isinstance(axes, (int, np.integer)):
+        n_axes = int(axes)
+        axes_a = list(range(a.rank - n_axes, a.rank))
+        axes_b = list(range(n_axes))
+    else:
+        axes_a, axes_b = axes
+        if not isinstance(axes_a, (list, tuple)):
+            axes_a = [axes_a]
+        if not isinstance(axes_b, (list, tuple)):
+            axes_b = [axes_b]
+        axes_a = [a.get_leg_index(x) for x in axes_a]
+        axes_b = [b.get_leg_index(x) for x in axes_b]
+        n_axes = len(axes_a)
+    perm_a = [i for i in range(a.rank) if i not in axes_a] + list(axes_a)
+    perm_b = list(axes_b) + [i for i in range(b.rank) if i not in axes_b]
+    at = a.transpose(perm_a)
+    bt = b.transpose(perm_b)
+    ka = a.rank - n_axes
+    for la, lb in zip(at.legs[ka:], bt.legs[:n_axes]):
+        la.test_contractible(lb)
+    plan = _packed_plan(at, bt, n_axes)
+    dtype = jnp.result_type(at.dtype, bt.dtype)
+    out_data = [jnp.zeros((nsz,) + shape, dtype)
+                for nsz, shape in zip(plan.out_sizes, plan.out_shapes)]
+    for (sa, sb, so, (m, kk, n), a_pos, b_pos, o_uniq, o_inv) in plan.groups:
+        B = len(a_pos)
+        am = at.data[sa]
+        bm = bt.data[sb]
+        if B != am.shape[0]:
+            am = am[jnp.asarray(a_pos)]
+        elif not np.array_equal(a_pos, np.arange(B)):
+            am = am[jnp.asarray(a_pos)]
+        if B != bm.shape[0] or not np.array_equal(b_pos, np.arange(B)):
+            bm = bm[jnp.asarray(b_pos)]
+        c = jnp.matmul(am.reshape(B, m, kk).astype(dtype),
+                       bm.reshape(B, kk, n).astype(dtype))
+        if len(o_uniq) < B:
+            c = jax.ops.segment_sum(c, jnp.asarray(o_inv),
+                                    num_segments=len(o_uniq))
+        shape_o = plan.out_shapes[so]
+        c = c.reshape((c.shape[0],) + shape_o)
+        out_data[so] = out_data[so].at[jnp.asarray(o_uniq)].add(c)
+    labels = tuple(at._labels[:ka]) + tuple(bt._labels[n_axes:])
+    return PackedArray(plan.out_legs, plan.out_qtotal, labels,
+                       plan.out_shapes, plan.out_qdatas, out_data, dtype)
+
+
+def inner(a, b, do_conj=False):
+    """Full contraction ``<a, b>``, legs paired in order.
+
+    Requires matching block layouts (same shapes/qdata rows) — true for any
+    pair built over mutually conjugate complete structures, e.g.
+    ``inner(v.conj(), w)`` with ``v, w`` from the same contraction plan.
+    """
+    if do_conj:
+        a = a.conj()
+    for la, lb in zip(a.legs, b.legs):
+        la.test_contractible(lb)
+    assert a.shapes == b.shapes and \
+        all(np.array_equal(p, q) for p, q in zip(a.qdatas, b.qdatas)), \
+        "inner: block layout mismatch"
+    total = None
+    for x, y in zip(a.data, b.data):
+        s = jnp.sum(x * y)
+        total = s if total is None else total + s
+    if total is None:
+        return jnp.zeros((), a.dtype)
+    return total
+
+
+def norm(a):
+    total = None
+    for x in a.data:
+        s = jnp.sum(jnp.abs(x) ** 2)
+        total = s if total is None else total + s
+    if total is None:
+        return jnp.zeros((), np.zeros((), np.dtype(str(a.dtype))).real.dtype)
+    return jnp.sqrt(total)
