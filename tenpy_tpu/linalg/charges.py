@@ -27,7 +27,7 @@ import itertools
 import numpy as np
 
 __all__ = [
-    'QTYPE', 'ChargeInfo', 'LegCharge', 'LegPipe',
+    'QTYPE', 'ChargeInfo', 'DipolarChargeInfo', 'LegCharge', 'LegPipe',
 ]
 
 QTYPE = np.int64
@@ -108,11 +108,25 @@ class ChargeInfo:
         charges = np.asarray(charges, dtype=QTYPE)
         return np.array_equal(self.make_valid(charges), charges)
 
+    # Whether spatial translations act trivially on the charges; subclasses
+    # with position-dependent charges (dipole conservation) override this.
+    trivial_shift = True
+
+    def shift_charges(self, charges, dx):
+        """Charges after translating by lattice vector ``dx`` (trivial here)."""
+        return np.asarray(charges, QTYPE)
+
+    def shift_charges_horizontal(self, charges, dx_0):
+        """Charges after translating by ``dx_0`` along the first lattice axis."""
+        return np.asarray(charges, QTYPE)
+
     def __eq__(self, other):
         if self is other:
             return True
         if not isinstance(other, ChargeInfo):
             return NotImplemented
+        if type(self) is not type(other):
+            return False
         return self.mod == other.mod
 
     def __ne__(self, other):
@@ -138,6 +152,121 @@ class ChargeInfo:
         qmod = np.asarray(hdf5_loader.load(subpath + 'U1_ZN'), QTYPE)
         names = hdf5_loader.load(subpath + 'names') if 'names' in h5gr else None
         obj = cls(tuple(int(m) for m in qmod), names)
+        hdf5_loader.memorize_load(h5gr, obj)
+        return obj
+
+
+class DipolarChargeInfo(ChargeInfo):
+    r"""ChargeInfo with dipole-moment conservation (position-dependent shifts).
+
+    One (or more) of the charges is the dipole moment ``p_i = r_i * q_i`` of
+    another charge ``q_i``, with ``r_i`` the integer lattice position along
+    ``dipole_dims[n]`` (origin at ``lattice.order[0]``).  Under a spatial
+    translation by ``dx``, the dipole charges shift by ``dx[dim] * q``, so
+    :attr:`trivial_shift` is False and sites/arrays must be charge-shifted
+    when moved between positions (``Lattice.mps_sites``, infinite-MPS
+    wrapping).  Reference: ``tenpy/linalg/charges.py:375``.
+
+    Parameters
+    ----------
+    mod, names : as for :class:`ChargeInfo`
+    charge_idcs : list of int
+        Per dipole charge: index of the underlying charge ``q``.
+    dipole_idcs : list of int
+        Per dipole charge: index of the dipole charge ``p`` itself.
+    dipole_dims : list of int, optional
+        Per dipole charge: conserved spatial component (default all 0).
+    """
+
+    __slots__ = ('charge_idcs', 'dipole_idcs', 'dipole_dims')
+
+    trivial_shift = False
+
+    def __init__(self, mod=(), names=None, charge_idcs=(), dipole_idcs=(),
+                 dipole_dims=None):
+        if dipole_dims is None:
+            dipole_dims = [0] * len(dipole_idcs)
+        mod = tuple(int(m) for m in mod)
+        for n, i in enumerate(charge_idcs):
+            if not 0 <= i < len(mod):
+                raise ValueError(f"charge_idcs[{n}] out of bounds")
+        for n, i in enumerate(dipole_idcs):
+            if not 0 <= i < len(mod):
+                raise ValueError(f"dipole_idcs[{n}] out of bounds")
+            if i in charge_idcs:
+                raise ValueError("dipole_idcs and charge_idcs must be disjoint")
+        for n, i in enumerate(dipole_idcs):
+            qmod_p = mod[i]
+            qmod_q = mod[charge_idcs[n]]
+            if dipole_dims[n] > 0 and qmod_p == 1:
+                raise ValueError("cannot conserve U(1) dipole charge along a "
+                                 "periodic direction (dipole_dim > 0)")
+            if qmod_q > 1 and (qmod_p == 1 or qmod_q % qmod_p != 0):
+                raise ValueError(f"dipole qmod={qmod_p} is not a subgroup of "
+                                 f"charge qmod={qmod_q}")
+        self.charge_idcs = tuple(int(i) for i in charge_idcs)
+        self.dipole_idcs = tuple(int(i) for i in dipole_idcs)
+        self.dipole_dims = tuple(int(i) for i in dipole_dims)
+        super().__init__(mod, names)
+        self._hash = hash(('DipolarChargeInfo', self.mod, self.names,
+                           self.charge_idcs, self.dipole_idcs,
+                           self.dipole_dims))
+
+    def shift_charges(self, charges, dx):
+        """``p_i -> p_i + dx[dim] * q_i`` for every dipole charge."""
+        charges = np.array(charges, QTYPE)
+        dx = np.asarray(dx)
+        if dx[-1] != 0:
+            raise NotImplementedError(
+                "shifts between sublattice positions are not supported")
+        for c, d, dim in zip(self.charge_idcs, self.dipole_idcs,
+                             self.dipole_dims):
+            charges[..., d] += int(dx[dim]) * charges[..., c]
+        return self.make_valid(charges)
+
+    def shift_charges_horizontal(self, charges, dx_0):
+        charges = np.array(charges, QTYPE)
+        for c, d, dim in zip(self.charge_idcs, self.dipole_idcs,
+                             self.dipole_dims):
+            if dim != 0:
+                continue
+            charges[..., d] += int(dx_0) * charges[..., c]
+        return self.make_valid(charges)
+
+    def __eq__(self, other):
+        res = ChargeInfo.__eq__(self, other)
+        if res is not True:
+            return res
+        return (self.charge_idcs == other.charge_idcs
+                and self.dipole_idcs == other.dipole_idcs
+                and self.dipole_dims == other.dipole_dims)
+
+    def __ne__(self, other):
+        res = self.__eq__(other)
+        return res if res is NotImplemented else not res
+
+    def __hash__(self):
+        return self._hash
+
+    def __repr__(self):
+        return (f"DipolarChargeInfo({list(self.mod)}, {list(self.names)}, "
+                f"{list(self.charge_idcs)}, {list(self.dipole_idcs)}, "
+                f"{list(self.dipole_dims)})")
+
+    def save_hdf5(self, hdf5_saver, h5gr, subpath):
+        super().save_hdf5(hdf5_saver, h5gr, subpath)
+        hdf5_saver.save(list(self.charge_idcs), subpath + 'charge_idcs')
+        hdf5_saver.save(list(self.dipole_idcs), subpath + 'dipole_idcs')
+        hdf5_saver.save(list(self.dipole_dims), subpath + 'dipole_dims')
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath):
+        qmod = np.asarray(hdf5_loader.load(subpath + 'U1_ZN'), QTYPE)
+        names = hdf5_loader.load(subpath + 'names') if 'names' in h5gr else None
+        obj = cls(tuple(int(m) for m in qmod), names,
+                  hdf5_loader.load(subpath + 'charge_idcs'),
+                  hdf5_loader.load(subpath + 'dipole_idcs'),
+                  hdf5_loader.load(subpath + 'dipole_dims'))
         hdf5_loader.memorize_load(h5gr, obj)
         return obj
 
@@ -295,6 +424,14 @@ class LegCharge:
     def conj(self):
         """Flip ``qconj`` keeping ``charges`` — the contractible partner of self."""
         return LegCharge(self.chinfo, self.slices, self.charges, -self.qconj)
+
+    def apply_charge_mapping(self, func, func_kwargs=None):
+        """New LegCharge with ``charges = func(charges, **func_kwargs)``.
+
+        Used for position-dependent charge shifts (dipole conservation);
+        reference ``tenpy/linalg/charges.py`` same name."""
+        charges = func(np.array(self.charges, QTYPE), **(func_kwargs or {}))
+        return LegCharge(self.chinfo, self.slices, charges, self.qconj)
 
     def flip_charges_qconj(self):
         """Flip qconj *and* negate charges: same physical leg, opposite bookkeeping."""

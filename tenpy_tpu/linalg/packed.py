@@ -302,7 +302,21 @@ def pack(a, multiple=64, pad=True, complete=True, pad_labels=None):
         s, i = pos[key]
         block = np.asarray(block)
         bufs[s][(i,) + tuple(slice(0, d) for d in block.shape)] = block
-    data = [jnp.asarray(b) for b in bufs]
+    # ONE host->device transfer: per-buffer jnp.asarray pays the device
+    # round-trip latency per shape group, which on remote-attached TPUs
+    # dominates by orders of magnitude
+    if bufs:
+        flat = np.concatenate([b.ravel() for b in bufs]) if len(bufs) > 1 \
+            else bufs[0].ravel()
+        dflat = jnp.asarray(flat)
+        data = []
+        off = 0
+        for b in bufs:
+            data.append(jax.lax.slice(dflat, (off,), (off + b.size,))
+                        .reshape(b.shape))
+            off += b.size
+    else:
+        data = []
     return PackedArray(legs, qtotal, tuple(a.get_leg_labels()), shapes,
                        qdatas, data, a.dtype)
 
@@ -316,9 +330,11 @@ def unpack(p, orig_legs=None, purge=True):
     legs = tuple(orig_legs) if orig_legs is not None else p.legs
     res = npc.Array(list(legs), p.dtype, np.asarray(p.qtotal, QTYPE),
                     list(p._labels))
+    # ONE device->host transfer (cf. pack)
+    host_data = jax.device_get(list(p.data))
     rows = []
     blocks = []
-    for shape, q, d in zip(p.shapes, p.qdatas, p.data):
+    for shape, q, d in zip(p.shapes, p.qdatas, host_data):
         d = np.asarray(d)
         for i, row in enumerate(q):
             orig_shape = tuple(int(l.slices[s + 1] - l.slices[s])

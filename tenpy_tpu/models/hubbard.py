@@ -12,7 +12,7 @@ from .model import CouplingMPOModel, NearestNeighborModel
 from .lattice import Chain
 from ..networks.site import BosonSite, SpinHalfFermionSite
 
-__all__ = ['BoseHubbardModel', 'BoseHubbardChain', 'FermiHubbardModel',
+__all__ = ['BoseHubbardModel', 'BoseHubbardChain', 'DipolarBoseHubbardChain', 'FermiHubbardModel',
            'FermiHubbardChain']
 
 
@@ -81,3 +81,45 @@ class FermiHubbardModel(CouplingMPOModel):
 class FermiHubbardChain(FermiHubbardModel, NearestNeighborModel):
     default_lattice = Chain
     force_default_lattice = True
+
+
+class DipolarBoseHubbardChain(CouplingMPOModel):
+    r"""Dipole-conserving spinless Bose-Hubbard chain.
+
+    .. math ::
+        H = - t \sum_i (b^\dagger_i b^2_{i+1} b^\dagger_{i+2} + h.c.)
+            - t4 \sum_i (b^\dagger_i b_{i+1} b_{i+2} b^\dagger_{i+3} + h.c.)
+            + U/2 \sum_i n_i (n_i - 1) - mu \sum_i n_i
+
+    Options: ``L`` (64), ``Nmax`` (2), ``conserve`` ('best' -> 'dipole'),
+    ``t`` (1), ``t4`` (0), ``U`` (1), ``mu`` (0).
+    Reference: ``tenpy/models/hubbard.py:275``.
+    """
+
+    def init_lattice(self, model_params):
+        from .lattice import Chain
+        L = model_params.get('L', 64)
+        Nmax = model_params.get('Nmax', 2)
+        conserve = model_params.get('conserve', 'best')
+        if conserve == 'best':
+            conserve = 'dipole'
+        bc_MPS = model_params.get('bc_MPS', 'finite')
+        bc = 'periodic' if bc_MPS in ('infinite', 'segment') else 'open'
+        bc = model_params.get('bc', bc)
+        site = BosonSite(Nmax=Nmax, conserve=conserve)
+        return Chain(L, site, bc=bc, bc_MPS=bc_MPS)
+
+    def init_terms(self, model_params):
+        U = model_params.get('U', 1., 'real_or_array')
+        t = model_params.get('t', 1., 'real_or_array')
+        t4 = model_params.get('t4', 0., 'real_or_array')
+        mu = model_params.get('mu', 0., 'real_or_array')
+        self.add_multi_coupling(
+            -t, [('Bd', 0, 0), ('B', 1, 0), ('B', 1, 0), ('Bd', 2, 0)],
+            plus_hc=True)
+        if np.any(np.asarray(t4) != 0.):
+            self.add_multi_coupling(
+                -t4, [('Bd', 0, 0), ('B', 1, 0), ('B', 2, 0), ('Bd', 3, 0)],
+                plus_hc=True)
+        self.add_onsite(U / 2., 0, 'NN')
+        self.add_onsite(-np.asarray(mu) - U / 2., 0, 'N')

@@ -151,8 +151,25 @@ class Lattice:
             self._perm[tuple(idx)] = i
 
     def mps_sites(self):
-        """Sites in MPS order (length N_sites). Reference lattice.py ``mps_sites``."""
-        return [self.unit_cell[u] for u in self._order[:, -1]]
+        """Sites in MPS order (length N_sites). Reference lattice.py ``mps_sites``.
+
+        For charges with non-trivial spatial shifts (dipole conservation), the
+        unit-cell sites — defined at position 0 — get their charges shifted to
+        each site's actual lattice position (reference ``lattice.py:699``).
+        """
+        import copy as _copy
+        sites = []
+        for lat_idx in self._order:
+            site = self.unit_cell[lat_idx[-1]]
+            if site is not None and not site.leg.chinfo.trivial_shift:
+                dx = np.array(lat_idx, int)
+                dx[-1] = 0
+                leg = site.leg.apply_charge_mapping(
+                    site.leg.chinfo.shift_charges, func_kwargs={'dx': dx})
+                site = _copy.copy(site)
+                site.change_charge(leg)
+            sites.append(site)
+        return sites
 
     def mps2lat_idx(self, i):
         """MPS index -> lattice index array. Reference: ``:718``."""

@@ -12,7 +12,7 @@ from .model import CouplingMPOModel, NearestNeighborModel
 from .lattice import Chain
 from ..networks.site import SpinSite
 
-__all__ = ['SpinModel', 'SpinChain']
+__all__ = ['SpinModel', 'SpinChain', 'DipolarSpinChain']
 
 
 class SpinModel(CouplingMPOModel):
@@ -77,3 +77,42 @@ class SpinChain(SpinModel, NearestNeighborModel):
 
     default_lattice = Chain
     force_default_lattice = True
+
+
+class DipolarSpinChain(CouplingMPOModel):
+    r"""Dipole-conserving H3-H4 spin-S chain.
+
+    .. math ::
+        H = - J3 \sum_i (S^+_i (S^-_{i+1})^2 S^+_{i+2} + h.c.)
+            - J4 \sum_i (S^+_i S^-_{i+1} S^-_{i+2} S^+_{i+3} + h.c.)
+
+    Both terms conserve the total Sz *and* its dipole moment
+    ``sum_i i * Sz_i``; with ``conserve='dipole'`` the block structure exploits
+    both U(1) symmetries (sites carry position-shifted
+    :class:`~tenpy_tpu.linalg.charges.DipolarChargeInfo` charges).
+    Options: ``L`` (64), ``S`` (1), ``conserve`` ('best' -> 'dipole'),
+    ``J3`` (1), ``J4`` (0).  Reference: ``tenpy/models/spins.py:109``.
+    """
+
+    def init_lattice(self, model_params):
+        L = model_params.get('L', 64)
+        S = model_params.get('S', 1)
+        conserve = model_params.get('conserve', 'best')
+        if conserve == 'best':
+            conserve = 'dipole'
+        bc_MPS = model_params.get('bc_MPS', 'finite')
+        bc = 'periodic' if bc_MPS in ('infinite', 'segment') else 'open'
+        bc = model_params.get('bc', bc)
+        site = SpinSite(S=S, conserve=conserve)
+        return Chain(L, site, bc=bc, bc_MPS=bc_MPS)
+
+    def init_terms(self, model_params):
+        J3 = model_params.get('J3', 1., 'real_or_array')
+        J4 = model_params.get('J4', 0., 'real_or_array')
+        self.add_multi_coupling(
+            -J3, [('Sp', 0, 0), ('Sm', 1, 0), ('Sm', 1, 0), ('Sp', 2, 0)],
+            plus_hc=True)
+        if np.any(np.asarray(J4) != 0.):
+            self.add_multi_coupling(
+                -J4, [('Sp', 0, 0), ('Sm', 1, 0), ('Sm', 2, 0), ('Sp', 3, 0)],
+                plus_hc=True)

@@ -958,6 +958,12 @@ class MPOGraph:
 
         Reference: ``tenpy/networks/mpo.py:2523``."""
         self.test_sanity()
+        if self.bc == 'infinite' and \
+                not self.sites[0].leg.chinfo.trivial_shift:
+            raise NotImplementedError(
+                "infinite MPOs with position-dependent charges (dipole "
+                "conservation) need charge shifts at the unit-cell wrap "
+                "(reference mpo.py:2680) — use bc_MPS='finite'")
         ordered = self._order_states()
         L = self.L
         grids = []

@@ -568,7 +568,7 @@ class SpinSite(Site):
     def __init__(self, S=0.5, conserve='Sz', sort_charge=True):
         if not conserve:
             conserve = 'None'
-        if conserve not in ('Sz', 'parity', 'None'):
+        if conserve not in ('dipole', 'Sz', 'parity', 'None'):
             raise ValueError(f"invalid conserve {conserve!r}")
         self.S = S = float(S)
         d = 2 * S + 1
@@ -585,7 +585,17 @@ class SpinSite(Site):
         Sx = 0.5 * (Sp + Sm)
         Sy = 0.5j * (Sm - Sp)
         ops = dict(Sp=Sp, Sm=Sm, Sz=Sz)
-        if conserve == 'Sz':
+        if conserve == 'dipole':
+            # site defined at position 0: local dipole moments of all Sz
+            # sectors are 0 there; Lattice.mps_sites shifts the charges to
+            # each site's actual position.  Reference: ``site.py:1360``.
+            from ..linalg.charges import DipolarChargeInfo
+            chinfo = DipolarChargeInfo([1, 1], ['2*Sz', 'dipole'],
+                                       charge_idcs=[0], dipole_idcs=[1])
+            qflat = np.stack([np.array(2 * Sz_diag, np.int64),
+                              np.zeros(d, np.int64)], axis=1)
+            leg = LegCharge.from_qflat(chinfo, qflat)
+        elif conserve == 'Sz':
             chinfo = ChargeInfo([1], ['2*Sz'])
             leg = LegCharge.from_qflat(chinfo, np.array(2 * Sz_diag, np.int64))
         else:
@@ -813,7 +823,7 @@ class BosonSite(Site):
     def __init__(self, Nmax=1, conserve='N', filling=0.):
         if not conserve:
             conserve = 'None'
-        if conserve not in ('N', 'parity', 'None'):
+        if conserve not in ('dipole', 'N', 'parity', 'None'):
             raise ValueError(f"invalid conserve {conserve!r}")
         d = Nmax + 1
         if d < 2:
@@ -829,7 +839,14 @@ class BosonSite(Site):
         dNdN = np.diag((n - filling) ** 2)
         P = np.diag(1. - 2. * np.mod(n, 2))
         ops = dict(B=B, Bd=Bd, N=N, NN=NN, dN=dN, dNdN=dNdN, P=P)
-        if conserve == 'N':
+        if conserve == 'dipole':
+            # site defined at position 0 (cf. SpinSite); reference site.py:1886
+            from ..linalg.charges import DipolarChargeInfo
+            chinfo = DipolarChargeInfo([1, 1], ['N', 'dipole'],
+                                       charge_idcs=[0], dipole_idcs=[1])
+            leg = LegCharge.from_qflat(
+                chinfo, np.stack([n, np.zeros(d, np.int64)], axis=1))
+        elif conserve == 'N':
             chinfo = ChargeInfo([1], ['N'])
             leg = LegCharge.from_qflat(chinfo, n)
         elif conserve == 'parity':
