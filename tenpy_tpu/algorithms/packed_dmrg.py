@@ -1,0 +1,371 @@
+r"""Device-resident two-site DMRG sweeps on the bucket-packed layout.
+
+The round-1 device path fused only the local eigensolve (Lanczos) and paid a
+full host<->device round trip of theta per site update, plus host-LAPACK
+truncation and host environment updates — on a remote-attached TPU those
+transfers dominate (PERF.md).  Here the **entire site update** is one jitted
+XLA program and the **entire sweep state lives in device memory**:
+
+    theta = C . B_next            (guess; no inverse-S — center-matrix carry)
+    E0, theta = Lanczos^K (theta) (fused lax.scan, packed matvec)
+    A, S, B   = split_truncate    (batched device decomposition, static shapes)
+    LP'/RP'   = env update        (packed tensordot chain)
+
+Per update the host receives only three scalars (E0, err, n_kept).  Shapes are
+static because every bond has a fixed, size-bucketed *capacity layout*
+(:func:`~tenpy_tpu.linalg.packed_split.split_truncate`): dropped Schmidt
+states are exact zero columns/rows with zero S, with exactly zero environment
+coupling — invisible to the physics.  One XLA program is compiled per
+(site, direction) and reused for every subsequent sweep.
+
+This plays the role of the reference's optimized sweep inner loop
+(``tenpy/algorithms/dmrg.py:846`` TwoSiteDMRGEngine over ``_npc_helper.pyx``
+batched GEMMs), recast for an accelerator with high dispatch latency.  It is
+the *production* phase: run the chi ramp (with mixer) on the host engine
+first, then hand the state over for fixed-structure convergence sweeps.
+
+Supports finite and infinite (iDMRG, environments age as they recycle) bc;
+plain two-site updates without mixer/subspace expansion (those are ramp-phase
+concerns).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..linalg import packed as pk
+from ..linalg import packed_split as ps
+from ..linalg.charges import QTYPE, LegCharge
+from ..linalg.padding import pad_leg, embed_array
+from .mps_common import _lanczos_K_2site_packed_impl, BUCKET_MULTIPLE
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['DeviceSweepEngine']
+
+
+def _env_update_L(LP, A, W):
+    """LP' strictly left of site i+1 from LP (left of i), A-form tensor, MPO W.
+
+    LP legs (vR*, wR, vR); A legs (vL, p, vR); W legs (wL, wR, p, p*)."""
+    x = pk.tensordot(LP, A, axes=(['vR'], ['vL']))            # vR* wR p vR
+    x = pk.tensordot(x, W, axes=(['wR', 'p'], ['wL', 'p*']))  # vR* vR wR p
+    x = pk.tensordot(x, A.conj(), axes=(['vR*', 'p'], ['vL*', 'p*']))
+    return x.transpose(['vR*', 'wR', 'vR'])
+
+
+def _env_update_R(RP, B, W):
+    """RP' strictly right of site i-1 from RP (right of i), B-form tensor, W.
+
+    RP legs (wL, vL, vL*); B legs (vL, p, vR)."""
+    x = pk.tensordot(B, RP, axes=(['vR'], ['vL']))            # vL p wL vL*
+    x = pk.tensordot(x, W, axes=(['wL', 'p'], ['wR', 'p*']))  # vL vL* wL p
+    x = pk.tensordot(x, B.conj(), axes=(['vL*', 'p'], ['vR*', 'p*']))
+    return x.transpose(['wL', 'vL', 'vL*'])
+
+
+class DeviceSweepEngine:
+    """Device-resident two-site DMRG sweeps starting from a ramped MPS.
+
+    Parameters
+    ----------
+    psi : MPS
+        Finite or infinite MPS in canonical form (the host ramp's output).
+        Updated in place by :meth:`run` (via :meth:`write_back`).
+    model : MPOModel
+    options : dict
+        chi_max : int — bond cap for truncation.
+        svd_min : float — relative Schmidt-value cutoff (default 1e-10).
+        lanczos_K : int — fused Lanczos steps per update (default 10).
+        n_sweeps : int — sweeps to run (default 10).
+        backend : str — device decomposition backend (see packed_split).
+        multiple : int — bucket multiple for padded virtual legs (default 64).
+        e_tol : float — stop early when |Delta E| per sweep drops below this.
+    """
+
+    def __init__(self, psi, model, options):
+        self.psi = psi
+        self.model = model
+        opts = dict(options)
+        self.chi_max = int(opts.get('chi_max', max(psi.chi)))
+        self.svd_min = float(opts.get('svd_min', 1e-10))
+        self.K = int(opts.get('lanczos_K', 10))
+        self.n_sweeps = int(opts.get('n_sweeps', 10))
+        self.backend = opts.get('backend', None)
+        self.multiple = int(opts.get('multiple', BUCKET_MULTIPLE))
+        self.e_tol = float(opts.get('e_tol', 0.))
+        self.cap_factor = float(opts.get('cap_factor', 1.3))
+        self.finite = psi.bc == 'finite'
+        self.L = psi.L
+        if self.L < 2:
+            raise ValueError("DeviceSweepEngine needs L >= 2")
+        self.n_bonds = self.L + 1 if self.finite else self.L
+        self.sweep_stats = {'sweep': [], 'E': [], 'max_err': [], 'time': []}
+        self._jit_cache = {}
+        self._C = None            # center-matrix carry (site of last update)
+        self._setup()
+
+    # ----------------------------------------------------------- indexing
+    def _bond(self, i):
+        return self.bond[i if self.finite else i % self.L]
+
+    # ------------------------------------------------------------- setup
+    def _setup(self):
+        psi, L = self.psi, self.L
+        cap_factor = self.cap_factor
+        # fixed padded capacity layouts: bond[i] = vL leg of site i (qconj +1)
+        self.bond = []
+        psi_leg = []
+        for i in range(self.n_bonds):
+            if self.finite and i == L:
+                leg = psi.get_B(L - 1, 'B').get_leg('vR').conj()
+            else:
+                leg = psi.get_B(i % L, 'B').get_leg('vL')
+            if leg.qconj != 1:
+                leg = leg.conj()
+            psi_leg.append(leg)
+            self.bond.append(pad_leg(leg, self.multiple)[0])
+        # widen interior bonds to every one-update-reachable charge sector
+        # (weight in a sector outside the layout would be hard-dropped), with
+        # per-sector capacity grown by cap_factor so the sector distribution
+        # can still shift during the fixed-layout sweeps
+        qtot = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
+        chinfo = psi_leg[0].chinfo
+        interior = (range(1, L) if self.finite else
+                    list(range(1, L)) + [0])
+        for i in interior:
+            iL, iR = (i - 1) % L, i % L
+            hint = {}
+            for s in range(psi_leg[i].block_number):
+                q = tuple(np.asarray(psi_leg[i].charges[s], QTYPE))
+                n = int(psi_leg[i].slices[s + 1] - psi_leg[i].slices[s])
+                hint[q] = int(np.ceil(n * cap_factor))
+            theta_legs = (self._bond(i - 1),
+                          psi.get_B(iL, None).get_leg('p'),
+                          psi.get_B(iR, None).get_leg('p'),
+                          self._bond(i + 1).conj())
+            qtotal_th = chinfo.make_valid(qtot[iL] + qtot[iR])
+            self.bond[i] = ps.bond_layout(theta_legs, qtotal_th, qtot[iL],
+                                          cap_hint=hint, chi_cap=self.chi_max,
+                                          multiple=self.multiple)
+
+        self.Bp = []
+        self.Wp = []
+        self.qtotal_site = []
+        for i in range(L):
+            B = psi.get_B(i, 'B').transpose(['vL', 'p', 'vR'])
+            self.qtotal_site.append(
+                tuple(int(x) for x in np.asarray(B.qtotal, QTYPE).ravel()))
+            self.Bp.append(self._pack_site(B, i))
+            W = self.model.H_MPO.get_W(i).transpose(['wL', 'wR', 'p', 'p*'])
+            self.Wp.append(pk.pack(W, pad=False))
+        self.Sp = [self._pack_S(i) for i in range(self.n_bonds)]
+        self.Ap = [None] * L
+
+        # environments via the host machinery (one-time init)
+        from ..networks.mpo import MPOEnvironment
+        env = MPOEnvironment(psi, self.model.H_MPO, psi)
+        self.LPp = [None] * L
+        self.RPp = [None] * L
+        self.LPp[0] = self._pack_env(env.get_LP(0), 0, 'L')
+        for i in range(L - 1, -1, -1):
+            self.RPp[i] = self._pack_env(env.get_RP(i),
+                                         i + 1 if self.finite else (i + 1) % L,
+                                         'R')
+
+    def _pack_site(self, B, i):
+        padded = embed_array(B, {'vL': self._bond(i),
+                                 'vR': self._bond(i + 1).conj()})
+        return pk.pack(padded, pad=False)
+
+    def _pack_S(self, i):
+        """Bond S as a flat padded device vector in bond-layout order."""
+        psi, L = self.psi, self.L
+        if self.finite and i == L:
+            S_host = np.asarray(psi.get_SR(L - 1))
+            leg = psi.get_B(L - 1, 'B').get_leg('vR').conj()
+        else:
+            S_host = np.asarray(psi.get_SL(i % L))
+            leg = psi.get_B(i % L, 'B').get_leg('vL')
+        if leg.qconj != 1:
+            leg = leg.conj()
+        bond = self._bond(i)
+        out = np.zeros(int(bond.slices[-1]))
+        pos = {tuple(np.asarray(bond.charges[b], QTYPE)): b
+               for b in range(bond.block_number)}
+        for s in range(leg.block_number):
+            b = pos.get(tuple(np.asarray(leg.charges[s], QTYPE)))
+            if b is None:
+                continue
+            n = min(int(leg.slices[s + 1] - leg.slices[s]),
+                    int(bond.slices[b + 1] - bond.slices[b]))
+            out[int(bond.slices[b]):int(bond.slices[b]) + n] = \
+                S_host[int(leg.slices[s]):int(leg.slices[s]) + n]
+        return jnp.asarray(out)
+
+    def _pack_env(self, E, i, side):
+        if side == 'L':
+            E = E.transpose(['vR*', 'wR', 'vR'])
+            # 'vR' contracts theta's vL (qconj +1) -> conj layout; 'vR*' +1
+            padded = {'vR*': self._bond(i), 'vR': self._bond(i).conj()}
+        else:
+            E = E.transpose(['wL', 'vL', 'vL*'])
+            padded = {'vL': self._bond(i), 'vL*': self._bond(i).conj()}
+        return pk.pack(embed_array(E, padded), pad=False)
+
+    # ---------------------------------------------------------- jitted step
+    def _get_step(self, move_right, plan, sig):
+        key = (move_right, id(plan), sig)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        K, chi, smin, backend = self.K, self.chi_max, self.svd_min, self.backend
+
+        def step(LP, RP, W0, W1, C, N):
+            if move_right:
+                th0 = pk.tensordot(C.replace_labels(['p'], ['p0']),
+                                   N.replace_labels(['p'], ['p1']),
+                                   axes=(['vR'], ['vL']))
+            else:
+                th0 = pk.tensordot(N.replace_labels(['p'], ['p0']),
+                                   C.replace_labels(['p'], ['p1']),
+                                   axes=(['vR'], ['vL']))
+            W0m = W0.replace_labels(['p', 'p*'], ['p0', 'p0*'])
+            W1m = W1.replace_labels(['p', 'p*'], ['p1', 'p1*'])
+            E0, th = _lanczos_K_2site_packed_impl(LP, RP, W0m, W1m, th0, K)
+            A, S, B, err, renorm, n_kept = ps.split_truncate(
+                th, plan, chi, smin, backend)
+            if move_right:
+                Cn = ps.scale_bond(B, S, ps.scale_bond_plan(B, 'vL'))
+                ENVn = _env_update_L(LP, A, W0)
+            else:
+                Cn = ps.scale_bond(A, S, ps.scale_bond_plan(A, 'vR'))
+                ENVn = _env_update_R(RP, B, W1)
+            return E0, A, S, B, Cn, ENVn, err, n_kept
+
+        fn = jax.jit(step)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _theta_struct(self, C, N, move_right):
+        """Structure-only PackedArray of ``C . N`` (for plan construction)."""
+        thL = (C if move_right else N).replace_labels(['p'], ['p0'])
+        thR = (N if move_right else C).replace_labels(['p'], ['p1'])
+        out_legs = (thL.legs[0], thL.legs[1], thR.legs[1], thR.legs[2])
+        chinfo = out_legs[0].chinfo
+        qtotal = tuple(int(x) for x in chinfo.make_valid(
+            np.asarray(thL.qtotal, QTYPE) + np.asarray(thR.qtotal, QTYPE)))
+        shapes, qdatas = pk.complete_structure(out_legs, qtotal)
+        return pk.PackedArray(out_legs, qtotal, ('vL', 'p0', 'p1', 'vR'),
+                              shapes, qdatas, [None] * len(shapes), C.dtype)
+
+    # ------------------------------------------------------------- updates
+    def _update(self, i0, move_right):
+        L = self.L
+        iL, iR = i0 % L, (i0 + 1) % L
+        LP = self.LPp[iL]
+        RP = self.RPp[iR]
+        W0, W1 = self.Wp[iL], self.Wp[iR]
+        N = self.Bp[iR] if move_right else self.Ap[iL]
+        C = self._C
+        struct = self._theta_struct(C, N, move_right)
+        bond_mid = i0 + 1 if self.finite else (i0 + 1) % L
+        plan = ps.split_plan(struct, self._bond(i0 + 1),
+                             self.qtotal_site[iL])
+        step = self._get_step(move_right, plan,
+                              (C.struct_sig(), N.struct_sig()))
+        E0, A, S, B, Cn, ENVn, err, n_kept = step(LP, RP, W0, W1, C, N)
+        self.Ap[iL] = A
+        self.Bp[iR] = B
+        self.Sp[bond_mid] = S
+        if move_right:
+            self.LPp[iR] = ENVn
+        else:
+            self.RPp[iL] = ENVn
+        self._C = Cn
+        return float(jax.device_get(E0)), float(jax.device_get(err))
+
+    # --------------------------------------------------------------- sweep
+    def sweep(self):
+        L = self.L
+        errs = []
+        if self._C is None:   # very first sweep: C = S[0] . B[0]
+            self._C = ps.scale_bond(self.Bp[0], self.Sp[0],
+                                    ps.scale_bond_plan(self.Bp[0], 'vL'))
+        n_each = L - 1 if self.finite else L
+        E_last = None
+        for j in range(n_each):                        # rightward
+            E_last, err = self._update(j, True)
+            errs.append(err)
+        for j in range(n_each):                        # leftward
+            E_last, err = self._update(n_each - 1 - j, False)
+            errs.append(err)
+        return E_last, max(errs)
+
+    def run(self):
+        E_prev = None
+        for sw in range(self.n_sweeps):
+            t0 = time.time()
+            E, max_err = self.sweep()
+            dt = time.time() - t0
+            self.sweep_stats['sweep'].append(sw + 1)
+            self.sweep_stats['E'].append(E)
+            self.sweep_stats['max_err'].append(max_err)
+            self.sweep_stats['time'].append(dt)
+            logger.info("device sweep %d: E0=%.14f max_err=%.2e (%.2fs)",
+                        sw + 1, E, max_err, dt)
+            if E_prev is not None and self.e_tol > 0 and \
+                    abs(E - E_prev) < self.e_tol:
+                break
+            E_prev = E
+        self.write_back()
+        return self.sweep_stats['E'][-1], self.psi
+
+    # ----------------------------------------------------------- write-back
+    def write_back(self):
+        """Unpack the device state into ``self.psi``, pruning zero-S entries.
+
+        After a completed sweep (ending left at bond 1) site 0 holds the
+        center: it is written in 'A' form scaled back by S — i.e. we store
+        B[0] implicitly through psi's canonical-form handling by writing the
+        fresh A[0] tensor with form 'A'.
+        """
+        psi, L = self.psi, self.L
+        Ss = [np.asarray(jax.device_get(s)) for s in self.Sp]
+        keeps = []
+        for S in Ss:
+            keep = S > 0.
+            if not keep.any():
+                keep = np.zeros(len(S), bool)
+                keep[0] = True
+            keeps.append(keep)
+
+        def keepL(i):
+            return keeps[i if self.finite else i % L]
+
+        for i in range(L):
+            if i == 0 and self.Ap[0] is not None:
+                T = pk.unpack(self.Ap[0])
+                form = 'A'
+            else:
+                T = pk.unpack(self.Bp[i])
+                form = 'B'
+            T = T.iproject(keepL(i), T.get_leg_index('vL'))
+            T = T.iproject(keepL(i + 1), T.get_leg_index('vR'))
+            psi.set_B(i, T, form=form)
+        for i in range(self.n_bonds):
+            if self.finite and i == self.n_bonds - 1:
+                psi.set_SR(L - 1, Ss[i][keeps[i]])
+            elif i == 0:
+                psi.set_SL(0, Ss[0][keeps[0]])
+            else:
+                psi.set_SL(i, Ss[i][keeps[i]])
+        if not self.finite:
+            # iDMRG tensors stem from different updates: across the unit-cell
+            # wrap the bond bases drift at the convergence level — re-gauge
+            self.psi.canonical_form_infinite()

@@ -1,0 +1,563 @@
+r"""Device-side split + truncation of a two-site wavefunction on the packed layout.
+
+This is the second half of the device-resident DMRG update (the first being the
+fused packed Lanczos, :func:`~tenpy_tpu.algorithms.mps_common.lanczos_K_2site_packed`):
+given a packed theta with legs ``(vL, p0, p1, vR)``, decompose
+
+    theta  =  A  .  diag(S)  .  B        A: (vL, p0, vR),  B: (vL, p1, vR)
+
+with A/B isometric and S truncated to ``chi_max`` / ``svd_min`` — entirely on
+device, with **static shapes**: the new bond leg is a fixed, size-bucketed
+*capacity layout*; dropped/unused Schmidt states are exact zeros (zero columns
+of A / rows of B and zero S entries), so downstream contractions, environment
+updates, and the next site's Lanczos see a structure-stable pytree and never
+touch the dead directions (their environment couplings are exactly zero).
+
+The layout transform packed-theta -> per-bond-sector matrices is ONE XLA
+gather per (rows, cols) bucket group from a host-precomputed static index map
+(:class:`SplitPlan`), so the traced program size is independent of the number
+of charge blocks.  This mirrors what the reference does per block with LAPACK
+(``tenpy/linalg/truncation.py:258`` ``svd_theta``; ``np_conserved.py:3676``
+``svd``), recast as batched device linalg.
+
+Decomposition backends (``TENPY_TPU_DEVICE_SVD``):
+
+``svd``
+    ``jnp.linalg.svd`` per bucket group.  Exact; the default on CPU.
+``qr_eigh``
+    ``eigh(M^H M)`` for the right vectors + f64 QR re-orthonormalization for
+    the left vectors.  Built from matmul/eigh/qr only — ``jnp.linalg.svd``
+    crashes the XLA TPU compiler in this environment (TransposeFolding
+    check-fail), and the Gram-eigh route is the reference's own
+    ``use_eig_based_svd`` strategy for large blocks (``truncation.py:474``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import np_conserved as npc
+from . import packed as pk
+from .charges import LegCharge, QTYPE
+from .padding import bucket_size
+
+__all__ = ['bond_layout', 'SplitPlan', 'split_plan', 'split_truncate',
+           'scale_bond_plan', 'scale_bond', 'DEFAULT_BACKEND']
+
+DEFAULT_BACKEND = os.environ.get('TENPY_TPU_DEVICE_SVD', 'auto')
+
+
+# --------------------------------------------------------------- bond layout
+def _group_pairs(legs, qconjs, qtotal_part, chinfo):
+    """All (sector_i, sector_j) pairs of two legs grouped by total charge.
+
+    Returns dict charge-tuple -> list of (si, sj) (lexsorted)."""
+    groups = {}
+    l0, l1 = legs
+    for s0 in range(l0.block_number):
+        q0 = np.asarray(l0.charges[s0], QTYPE) * qconjs[0]
+        for s1 in range(l1.block_number):
+            q = q0 + np.asarray(l1.charges[s1], QTYPE) * qconjs[1]
+            key = tuple(chinfo.make_valid(q + qtotal_part))
+            groups.setdefault(key, []).append((s0, s1))
+    return groups
+
+
+def bond_layout(theta_legs, qtotal_theta, qtotal_A, cap_hint=None,
+                chi_cap=None, multiple=64):
+    """Fixed-capacity bond leg for the device split of a two-site theta.
+
+    Parameters
+    ----------
+    theta_legs : (vL, p0, p1, vR) LegCharges (the *padded* legs of the packed
+        theta).
+    qtotal_theta, qtotal_A : charges
+        Total charge of theta and the part assigned to A (B gets the rest).
+    cap_hint : dict {charge tuple -> int}, optional
+        Desired per-sector capacity (e.g. current bond sector sizes).  Sectors
+        not in the hint get the minimal bucket.
+    chi_cap : int, optional
+        Upper bound on any single sector's capacity (defaults to unlimited).
+
+    Returns
+    -------
+    bond : LegCharge
+        qconj=+1 (the B-side convention of :func:`npc.svd` with
+        ``inner_qconj=+1``); A's bond leg is ``bond.conj()``.
+    """
+    chinfo = theta_legs[0].chinfo
+    qtotal_theta = np.asarray(qtotal_theta, QTYPE)
+    qtotal_A = np.asarray(qtotal_A, QTYPE)
+    # bond charge q_b (on the B side, qconj=+1): row charge - qtotal_A
+    rows = _group_pairs(theta_legs[:2], [theta_legs[0].qconj, theta_legs[1].qconj],
+                        -qtotal_A, chinfo)
+    qtotal_B = chinfo.make_valid(qtotal_theta - qtotal_A)
+    # col charge must combine with q_b to qtotal_B: q_b = qtotal_B - col charge
+    cols = _group_pairs(theta_legs[2:], [theta_legs[2].qconj, theta_legs[3].qconj],
+                        np.zeros_like(qtotal_B), chinfo)
+    cols = {tuple(chinfo.make_valid(qtotal_B - np.asarray(k, QTYPE))): v
+            for k, v in cols.items()}
+    charges = []
+    sizes = []
+    for q in sorted(set(rows) & set(cols)):
+        R = sum(int(theta_legs[0].slices[a + 1] - theta_legs[0].slices[a])
+                * int(theta_legs[1].slices[b + 1] - theta_legs[1].slices[b])
+                for a, b in rows[q])
+        C = sum(int(theta_legs[2].slices[c + 1] - theta_legs[2].slices[c])
+                * int(theta_legs[3].slices[d + 1] - theta_legs[3].slices[d])
+                for c, d in cols[q])
+        hint = (cap_hint or {}).get(q, 1)
+        cap = bucket_size(max(int(hint), 1), multiple)
+        cap = min(cap, bucket_size(min(R, C), multiple))
+        if chi_cap is not None:
+            cap = min(cap, bucket_size(int(chi_cap), multiple))
+        charges.append(q)
+        sizes.append(cap)
+    slices = np.concatenate([[0], np.cumsum(sizes)]).astype(np.intp)
+    charges = np.array(charges, QTYPE).reshape(len(charges), chinfo.qnumber)
+    return LegCharge(chinfo, slices, charges, 1)
+
+
+# ----------------------------------------------------------------- the plan
+class _SplitGroup:
+    """One (R, C)-bucket of bond sectors."""
+    __slots__ = ('R', 'C', 'K', 'N', 'idx', 'cap_mask', 'sectors')
+
+    def __init__(self, R, C, N, idx, cap_mask, sectors):
+        self.R, self.C, self.K, self.N = R, C, min(R, C), N
+        self.idx = idx            # int32 (N, R, C) into flat theta (-1 = 0)
+        self.cap_mask = cap_mask  # bool (N, K): k < capacity of sector
+        self.sectors = sectors    # bond-leg sector indices, len N
+
+
+class SplitPlan:
+    """Host-precomputed index maps for :func:`split_truncate`.
+
+    Built once per (theta structure, bond layout, qtotal_A); all arrays are
+    static numpy data converted to device constants at trace time.
+    """
+    __slots__ = ('groups', 'A_struct', 'B_struct', 'A_idx', 'B_idx', 'S_idx',
+                 'bond', 'bond_dim', 'theta_legs', 'theta_labels',
+                 'qtotal_A', 'qtotal_B', 'guess_S_idx')
+
+    pass
+
+
+def _flat_offsets(shapes, qdatas, extra=0):
+    offs = []
+    off = 0
+    for shape, q in zip(shapes, qdatas):
+        offs.append(off)
+        off += (q.shape[0] + extra) * int(np.prod(shape, dtype=np.int64))
+    return offs, off
+
+
+_SPLIT_PLAN_CACHE = {}
+
+
+def split_plan(theta_p, bond, qtotal_A, group_multiple=64):
+    """Build (or fetch) the :class:`SplitPlan` for a packed theta.
+
+    ``theta_p`` must have legs labelled ``vL, p0, p1, vR`` (any order) with a
+    *complete* packed structure; ``bond`` from :func:`bond_layout`.
+    """
+    order = [theta_p.get_leg_index(l) for l in ('vL', 'p0', 'p1', 'vR')]
+    if order != [0, 1, 2, 3]:
+        theta_p = theta_p.transpose(order)
+    key = (theta_p.struct_sig(), bond, tuple(int(x) for x in np.ravel(qtotal_A)),
+           group_multiple)
+    plan = _SPLIT_PLAN_CACHE.get(key)
+    if plan is not None:
+        return plan
+    plan = _build_split_plan(theta_p, bond, qtotal_A, group_multiple)
+    if len(_SPLIT_PLAN_CACHE) > 256:
+        for k_old in list(_SPLIT_PLAN_CACHE)[:128]:
+            del _SPLIT_PLAN_CACHE[k_old]
+    _SPLIT_PLAN_CACHE[key] = plan
+    return plan
+
+
+def _build_split_plan(theta_p, bond, qtotal_A, group_multiple):
+    legs = theta_p.legs
+    chinfo = legs[0].chinfo
+    qtotal_A = np.asarray(chinfo.make_valid(np.asarray(qtotal_A, QTYPE)), QTYPE)
+    qtotal_B = np.asarray(chinfo.make_valid(
+        np.asarray(theta_p.qtotal, QTYPE) - qtotal_A), QTYPE)
+
+    bond_pos = {tuple(np.asarray(bond.charges[b], QTYPE)): b
+                for b in range(bond.block_number)}
+    caps = np.diff(bond.slices).astype(int)
+
+    size = [np.diff(l.slices).astype(int) for l in legs]
+
+    # ---- per bond sector: ordered row/col pair lists with offsets
+    rows_of = {b: [] for b in range(bond.block_number)}   # (s_vL, s_p0)
+    cols_of = {b: [] for b in range(bond.block_number)}   # (s_p1, s_vR)
+    for a in range(legs[0].block_number):
+        qa = np.asarray(legs[0].charges[a], QTYPE) * legs[0].qconj
+        for c in range(legs[1].block_number):
+            q = chinfo.make_valid(
+                qa + np.asarray(legs[1].charges[c], QTYPE) * legs[1].qconj
+                - qtotal_A)
+            b = bond_pos.get(tuple(np.asarray(q, QTYPE)))
+            if b is not None:
+                rows_of[b].append((a, c))
+    for c in range(legs[2].block_number):
+        qc = np.asarray(legs[2].charges[c], QTYPE) * legs[2].qconj
+        for d in range(legs[3].block_number):
+            q = chinfo.make_valid(
+                qtotal_B - qc - np.asarray(legs[3].charges[d], QTYPE) * legs[3].qconj)
+            b = bond_pos.get(tuple(np.asarray(q, QTYPE)))
+            if b is not None:
+                cols_of[b].append((c, d))
+    row_off = {}
+    col_off = {}
+    R_of = np.zeros(bond.block_number, int)
+    C_of = np.zeros(bond.block_number, int)
+    for b in range(bond.block_number):
+        off = 0
+        for (a, c) in rows_of[b]:
+            row_off[(b, a, c)] = off
+            off += size[0][a] * size[1][c]
+        R_of[b] = off
+        off = 0
+        for (c, d) in cols_of[b]:
+            col_off[(b, c, d)] = off
+            off += size[2][c] * size[3][d]
+        C_of[b] = off
+
+    # ---- group sectors by bucketed (R, C)
+    def rcb(b):
+        return (bucket_size(int(R_of[b]), group_multiple),
+                bucket_size(int(C_of[b]), group_multiple))
+
+    by_rc = {}
+    for b in range(bond.block_number):
+        if R_of[b] == 0 or C_of[b] == 0 or caps[b] == 0:
+            continue
+        by_rc.setdefault(rcb(b), []).append(b)
+
+    toffs, _ = _flat_offsets(theta_p.shapes, theta_p.qdatas)
+    tpos = {}
+    for s, q in enumerate(theta_p.qdatas):
+        blk = int(np.prod(theta_p.shapes[s], dtype=np.int64))
+        for n, row in enumerate(q):
+            tpos[tuple(int(x) for x in row)] = toffs[s] + n * blk
+
+    groups = []
+    sector_group = {}   # bond sector -> (g, n)
+    for (R, C) in sorted(by_rc):
+        secs = by_rc[(R, C)]
+        N = len(secs)
+        K = min(R, C)
+        idx = np.full((N, R, C), -1, np.int64)
+        cap_mask = np.zeros((N, K), bool)
+        for n, b in enumerate(secs):
+            sector_group[b] = (len(groups), n)
+            cap_mask[n, :min(int(caps[b]), K)] = True
+            for (a, c) in rows_of[b]:
+                ro = row_off[(b, a, c)]
+                rs = size[0][a] * size[1][c]
+                for (cc, d) in cols_of[b]:
+                    co = col_off[(b, cc, d)]
+                    cs = size[2][cc] * size[3][d]
+                    base = tpos.get((a, c, cc, d))
+                    if base is None:
+                        continue   # not charge-allowed given qtotal_theta
+                    patch = base + np.arange(rs * cs, dtype=np.int64)
+                    idx[n, ro:ro + rs, co:co + cs] = patch.reshape(rs, cs)
+        groups.append(_SplitGroup(R, C, N, idx.astype(np.int32),
+                                  cap_mask, list(secs)))
+
+    # ---- flat U / V / S offsets (stacked per group)
+    uoffs = []
+    voffs = []
+    soffs = []
+    uo = vo = so = 0
+    for g in groups:
+        uoffs.append(uo)
+        voffs.append(vo)
+        soffs.append(so)
+        uo += g.N * g.R * g.K
+        vo += g.N * g.C * g.K
+        so += g.N * g.K
+
+    # ---- A assembly
+    bond_A = bond.conj()
+    A_legs = (legs[0], legs[1], bond_A)
+    A_shapes, A_qdatas = pk.complete_structure(A_legs, tuple(int(x)
+                                                             for x in qtotal_A))
+    A_idx = []
+    for shape, qd in zip(A_shapes, A_qdatas):
+        d0, d1, db = shape
+        ii = np.full((qd.shape[0], d0 * d1, db), -1, np.int64)
+        for n, (a, c, b) in enumerate(qd):
+            gn = sector_group.get(int(b))
+            if gn is None:
+                continue
+            g_i, n_i = gn
+            g = groups[g_i]
+            ro = row_off.get((int(b), int(a), int(c)))
+            if ro is None:
+                continue
+            rs = size[0][a] * size[1][c]
+            kk = min(int(caps[b]), g.K, db)
+            base = uoffs[g_i] + (n_i * g.R + ro) * g.K
+            ii[n, :rs, :kk] = (base + np.arange(rs)[:, None] * g.K
+                               + np.arange(kk)[None, :])
+        A_idx.append(ii.reshape((qd.shape[0],) + tuple(shape)).astype(np.int32))
+
+    # ---- B assembly (values conjugated from V at gather time)
+    B_legs = (bond, legs[2], legs[3])
+    B_shapes, B_qdatas = pk.complete_structure(B_legs, tuple(int(x)
+                                                             for x in qtotal_B))
+    B_idx = []
+    for shape, qd in zip(B_shapes, B_qdatas):
+        db, d2, d3 = shape
+        ii = np.full((qd.shape[0], db, d2 * d3), -1, np.int64)
+        for n, (b, c, d) in enumerate(qd):
+            gn = sector_group.get(int(b))
+            if gn is None:
+                continue
+            g_i, n_i = gn
+            g = groups[g_i]
+            co = col_off.get((int(b), int(c), int(d)))
+            if co is None:
+                continue
+            cs = size[2][c] * size[3][d]
+            kk = min(int(caps[b]), g.K, db)
+            base = voffs[g_i] + n_i * g.C * g.K
+            ii[n, :kk, :cs] = (base + (co + np.arange(cs))[None, :] * g.K
+                               + np.arange(kk)[:, None])
+        B_idx.append(ii.reshape((qd.shape[0],) + tuple(shape)).astype(np.int32))
+
+    # ---- S assembly: bond-leg-ordered flat vector
+    bond_dim = int(bond.slices[-1])
+    S_idx = np.full(bond_dim, -1, np.int64)
+    for b in range(bond.block_number):
+        gn = sector_group.get(b)
+        if gn is None:
+            continue
+        g_i, n_i = gn
+        g = groups[g_i]
+        kk = min(int(caps[b]), g.K)
+        start = int(bond.slices[b])
+        S_idx[start:start + kk] = soffs[g_i] + n_i * g.K + np.arange(kk)
+
+    plan = SplitPlan.__new__(SplitPlan)
+    plan.groups = groups
+    plan.A_struct = (A_legs, tuple(int(x) for x in qtotal_A), A_shapes, A_qdatas)
+    plan.B_struct = (B_legs, tuple(int(x) for x in qtotal_B), B_shapes, B_qdatas)
+    plan.A_idx = A_idx
+    plan.B_idx = B_idx
+    plan.S_idx = S_idx.astype(np.int32)
+    plan.bond = bond
+    plan.bond_dim = bond_dim
+    plan.theta_legs = legs
+    plan.theta_labels = theta_p._labels
+    plan.qtotal_A = tuple(int(x) for x in qtotal_A)
+    plan.qtotal_B = tuple(int(x) for x in qtotal_B)
+    return plan
+
+
+# ----------------------------------------------------------- decompositions
+def _decomp_svd(M):
+    U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+    V = jnp.conj(jnp.swapaxes(Vh, -1, -2))
+    return U, S, V
+
+
+def _decomp_qr_eigh(M, f32_seed=False):
+    """SVD via Gram-matrix eigh + QR re-orthonormalization (matmul/eigh/qr only).
+
+    Exactness properties: V from eigh is orthonormal to machine precision; U
+    from QR is orthonormal by construction; ``theta - U S V^H`` is at the
+    eigh backward-error level (~1e-15 * sigma_max).  Singular values below
+    ~1e-8 * sigma_max lose relative accuracy (Gram squaring) — irrelevant for
+    truncation, their weight is at the f64 noise floor.
+    """
+    R, C = M.shape[-2], M.shape[-1]
+    K = min(R, C)
+    Mh = jnp.conj(jnp.swapaxes(M, -1, -2))
+    if R >= C:
+        rho = jnp.matmul(Mh, M)          # (N, C, C)
+        if f32_seed:
+            _, V0 = jnp.linalg.eigh(rho.astype(jnp.float32))
+            V0 = V0.astype(M.dtype)[..., ::-1]
+            V, _ = jnp.linalg.qr(V0)
+            w = jnp.sum(jnp.conj(V) * jnp.matmul(rho, V), axis=-2).real
+            ordr = jnp.argsort(-w, axis=-1)
+            w = jnp.take_along_axis(w, ordr, -1)
+            V = jnp.take_along_axis(V, ordr[..., None, :], -1)
+        else:
+            w, V = jnp.linalg.eigh(rho)
+            w = w[..., ::-1]
+            V = V[..., ::-1]
+        S = jnp.sqrt(jnp.clip(w, 0., None))
+        U0 = jnp.matmul(M, V)            # columns ~ U * S
+        U, Ru = jnp.linalg.qr(U0)
+        d = jnp.diagonal(Ru, axis1=-2, axis2=-1)
+        sgn = jnp.where(jnp.abs(d) > 0, d / jnp.where(jnp.abs(d) > 0,
+                                                      jnp.abs(d), 1.), 1.)
+        U = U * jnp.conj(sgn)[..., None, :]
+        return U, S, V
+    else:
+        # wide matrix: work on M^H (tall), swap roles
+        V, S, U = _decomp_qr_eigh(Mh, f32_seed=f32_seed)
+        return U, S, V
+
+
+def _decomp(M, backend):
+    if backend == 'svd':
+        return _decomp_svd(M)
+    if backend == 'qr_eigh':
+        return _decomp_qr_eigh(M, f32_seed=False)
+    if backend == 'qr_eigh32':
+        return _decomp_qr_eigh(M, f32_seed=True)
+    raise ValueError(f"unknown device-SVD backend {backend!r}")
+
+
+def _resolve_backend(backend):
+    if backend in (None, 'auto'):
+        backend = DEFAULT_BACKEND
+    if backend == 'auto':
+        backend = 'svd' if jax.default_backend() == 'cpu' else 'qr_eigh'
+    return backend
+
+
+# -------------------------------------------------------------- the split
+def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
+    """Decompose + truncate a packed theta; fully traceable (shapes static).
+
+    Parameters
+    ----------
+    theta_p : PackedArray, legs (vL, p0, p1, vR), complete structure matching
+        the plan.  Need NOT be normalized.
+    plan : SplitPlan
+    chi_max : int (static)
+    svd_min : float (static) — discard Schmidt values below this (relative).
+
+    Returns
+    -------
+    A : PackedArray (vL, p, vR) left-isometric (dropped columns exact zeros)
+    S : jnp.ndarray (bond_dim,) normalized Schmidt values in bond-leg order
+        (zeros on dropped/padding entries)
+    B : PackedArray (vL, p, vR) right-isometric
+    err : truncation error (sum of discarded p), scalar
+    renorm : sqrt(sum kept S^2) * |theta| — the norm factor removed
+    n_kept : number of kept Schmidt values, scalar int
+    """
+    backend = _resolve_backend(backend)
+    order = [theta_p.get_leg_index(l) for l in ('vL', 'p0', 'p1', 'vR')]
+    if order != [0, 1, 2, 3]:
+        theta_p = theta_p.transpose(order)
+    flat = jnp.concatenate([d.reshape(-1) for d in theta_p.data])
+    dtype = theta_p.dtype
+    real = jnp.zeros((), dtype).real.dtype
+
+    Us, Ss, Vs = [], [], []
+    for g in plan.groups:
+        M = jnp.take(flat, jnp.asarray(g.idx.reshape(-1)), mode='fill',
+                     fill_value=0).reshape(g.N, g.R, g.C)
+        U, S, V = _decomp(M, backend)
+        Us.append(U)
+        Ss.append(jnp.where(jnp.asarray(g.cap_mask), S.astype(real), 0.))
+        Vs.append(V)
+
+    allS = jnp.concatenate([S.reshape(-1) for S in Ss])
+    # full norm of theta (not just the layout's sectors): weight in bond
+    # sectors outside the fixed capacity layout is *discarded* by the split
+    # and must show up in err/renorm
+    tot = sum(jnp.sum(jnp.abs(d.reshape(-1)) ** 2) for d in theta_p.data)
+    nrm = jnp.sqrt(tot)
+    # global top-chi threshold
+    k = min(int(chi_max), allS.shape[0])
+    thr_chi = jax.lax.top_k(allS, k)[0][-1]
+    thr = jnp.maximum(thr_chi, svd_min * nrm)
+
+    masks = [(S >= thr) & (S > 0) for S in Ss]
+    kept = sum(jnp.sum(S ** 2 * m) for S, m in zip(Ss, masks))
+    n_kept = sum(jnp.sum(m) for m in masks)
+    err = jnp.maximum(0., 1. - kept / tot)
+    renorm = jnp.sqrt(kept)
+
+    flatU = jnp.concatenate([
+        (U * m[:, None, :].astype(U.dtype)).reshape(-1)
+        for U, m in zip(Us, masks)])
+    flatV = jnp.concatenate([
+        (V * m[:, None, :].astype(V.dtype)).reshape(-1)
+        for V, m in zip(Vs, masks)])
+    flatS = jnp.concatenate([
+        (S * m / renorm).reshape(-1) for S, m in zip(Ss, masks)])
+
+    A_legs, qtot_A, A_shapes, A_qdatas = plan.A_struct
+    A_data = [jnp.take(flatU, jnp.asarray(ii.reshape(-1)), mode='fill',
+                       fill_value=0).reshape((qd.shape[0],) + shape)
+              for ii, shape, qd in zip(plan.A_idx, A_shapes, A_qdatas)]
+    A = pk.PackedArray(A_legs, qtot_A, ('vL', 'p', 'vR'), A_shapes, A_qdatas,
+                       A_data, dtype)
+    B_legs, qtot_B, B_shapes, B_qdatas = plan.B_struct
+    B_data = [jnp.conj(jnp.take(flatV, jnp.asarray(ii.reshape(-1)), mode='fill',
+                                fill_value=0)).reshape((qd.shape[0],) + shape)
+              for ii, shape, qd in zip(plan.B_idx, B_shapes, B_qdatas)]
+    B = pk.PackedArray(B_legs, qtot_B, ('vL', 'p', 'vR'), B_shapes, B_qdatas,
+                       B_data, dtype)
+    S_flat = jnp.take(flatS, jnp.asarray(plan.S_idx), mode='fill',
+                      fill_value=0)
+    return A, S_flat, B, err, renorm * nrm, n_kept
+
+
+# ---------------------------------------------------- bond-S scaling (guess)
+@lru_cache(maxsize=1024)
+def _scale_bond_idx(struct_sig_legs, bond_sig, axis):
+    """Per-group (N, d_axis) indices into the bond-S flat vector."""
+    shapes, qdatas, legs = struct_sig_legs
+    bond = bond_sig
+    idx = []
+    for shape, qd in zip(shapes, qdatas):
+        d = shape[axis]
+        ii = np.zeros((qd.shape[0], d), np.int64)
+        for n, row in enumerate(qd):
+            b = int(row[axis])
+            start = int(bond.slices[b])
+            width = int(bond.slices[b + 1]) - start
+            ii[n] = start + np.minimum(np.arange(d), max(width - 1, 0))
+        idx.append(ii.astype(np.int32))
+    return idx
+
+
+def scale_bond_plan(p, axis):
+    """Static gather maps to scale PackedArray ``p`` along bond leg ``axis``."""
+    axis = p.get_leg_index(axis)
+    key = ((p.shapes, tuple(q.tobytes() for q in p.qdatas)), None, axis)
+    # lru_cache needs hashable: rebuild key with legs
+    shapes = p.shapes
+    qdatas = p.qdatas
+    bond = p.legs[axis]
+    idx = []
+    for shape, qd in zip(shapes, qdatas):
+        d = shape[axis]
+        ii = np.zeros((qd.shape[0], d), np.int64)
+        for n, row in enumerate(qd):
+            b = int(row[axis])
+            start = int(bond.slices[b])
+            ii[n] = start + np.arange(d)
+        idx.append(ii.astype(np.int32))
+    return (axis, idx)
+
+
+def scale_bond(p, S_flat, plan):
+    """Multiply packed ``p`` by bond values ``S_flat`` along the planned axis."""
+    axis, idx = plan
+    data = []
+    for d, ii in zip(p.data, idx):
+        s = jnp.take(S_flat, jnp.asarray(ii), mode='clip')  # (N, d_axis)
+        shape = [d.shape[0]] + [1] * (d.ndim - 1)
+        shape[1 + axis] = d.shape[1 + axis]
+        data.append(d * s.reshape(shape).astype(d.dtype))
+    return p._with_data(data)

@@ -1122,19 +1122,32 @@ class MPS:
                 Ms = self._stripped_tensors(pinv_cutoff=1e-8)
         if any(f is None for f in self.form):
             self._S[0] = np.ones(Ms[0].get_leg('vL').ind_len)
-        # 1) right-orthogonalize:  M_i R_{i+1} = R_i B_i  with right-isometric B
-        R = npc.diag(1., Ms[0].get_leg('vL'), labels=['vL', 'vR'])
-        Bs, R, norm_fact = _cf_orthogonalize(Ms, R, tol, p_label, left=False,
-                                             arnoldi_params=arnoldi_params)
-        # 2) left-orthogonalize the new Bs:  C_i B_i = A_i C_{i+1}
-        SL0 = np.asarray(self.get_SL(0))
-        legB0 = Bs[0].get_leg('vL')
-        if SL0.ndim == 1 and SL0.shape[0] == legB0.ind_len:
-            C = npc.diag(SL0 / np.linalg.norm(SL0), legB0, labels=['vL', 'vR'])
-        else:
-            C = npc.diag(1., legB0, labels=['vL', 'vR'])
-        As, C, _ = _cf_orthogonalize(Bs, C, tol, p_label, left=True,
-                                     arnoldi_params=arnoldi_params)
+        try:
+            # 1) right-orthogonalize:  M_i R_{i+1} = R_i B_i, right-isometric B
+            R = npc.diag(1., Ms[0].get_leg('vL'), labels=['vL', 'vR'])
+            Bs, R, norm_fact = _cf_orthogonalize(Ms, R, tol, p_label,
+                                                 left=False,
+                                                 arnoldi_params=arnoldi_params)
+            # 2) left-orthogonalize the new Bs:  C_i B_i = A_i C_{i+1}
+            SL0 = np.asarray(self.get_SL(0))
+            legB0 = Bs[0].get_leg('vL')
+            if SL0.ndim == 1 and SL0.shape[0] == legB0.ind_len:
+                C = npc.diag(SL0 / np.linalg.norm(SL0), legB0,
+                             labels=['vL', 'vR'])
+            else:
+                C = npc.diag(1., legB0, labels=['vL', 'vR'])
+            As, C, _ = _cf_orthogonalize(Bs, C, tol, p_label, left=True,
+                                         arnoldi_params=arnoldi_params)
+        except _GaugePlateauError as e:
+            # exactly degenerate Schmidt values / near-critical transfer
+            # matrices can stall the QR gauge iteration on a residual-phase
+            # plateau; the per-charge-sector transfer-matrix fixed-point gauge
+            # (canonical_form_infinite1) is insensitive to that
+            logger.warning("canonical_form_infinite: %s — falling back to the "
+                           "transfer-matrix fixed-point gauge", e)
+            return self.canonical_form_infinite1(renormalize=renormalize,
+                                                 cutoff=cutoff,
+                                                 arnoldi_params=arnoldi_params)
         # 3) diagonalize the gauge:  C = U S V;  then sweep SVDs right-to-left to
         #    store B-form tensors and diagonal S on every bond.
         C.itranspose(['vL', 'vR'])
@@ -2233,5 +2246,9 @@ def _cf_orthogonalize(Ms, X, tol, p_label, left, arnoldi_params=None,
         logger.warning("canonical_form_infinite: gauge iteration plateaued at "
                        "err=%.2e (tol=%.0e)", best[0], tol)
         return best[1], best[2], best[3]
-    raise RuntimeError(
+    raise _GaugePlateauError(
         f"canonical_form_infinite did not converge to tol={tol}; last err={err}")
+
+
+class _GaugePlateauError(RuntimeError):
+    """QR gauge iteration plateaued (degenerate/near-critical transfer matrix)."""
