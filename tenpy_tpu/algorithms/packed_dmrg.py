@@ -32,6 +32,7 @@ concerns).
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import numpy as np
@@ -100,12 +101,17 @@ class DeviceSweepEngine:
         self.multiple = int(opts.get('multiple', BUCKET_MULTIPLE))
         self.e_tol = float(opts.get('e_tol', 0.))
         self.cap_factor = float(opts.get('cap_factor', 1.3))
+        self.lanczos_P_tol = float(opts.get('lanczos_P_tol', 1e-14))
+        self.reortho = bool(opts.get('reortho', False))
+        self.log_updates = bool(opts.get('log_updates',
+                                         os.environ.get('TENPY_TPU_LOG_UPDATES')))
         self.finite = psi.bc == 'finite'
         self.L = psi.L
         if self.L < 2:
             raise ValueError("DeviceSweepEngine needs L >= 2")
         self.n_bonds = self.L + 1 if self.finite else self.L
         self.sweep_stats = {'sweep': [], 'E': [], 'max_err': [], 'time': []}
+        pk.start_transfer_keepalive()   # no-op on CPU
         self._jit_cache = {}
         self._C = None            # center-matrix carry (site of last update)
         self._setup()
@@ -117,6 +123,7 @@ class DeviceSweepEngine:
     # ------------------------------------------------------------- setup
     def _setup(self):
         psi, L = self.psi, self.L
+        psi.real_if_close()   # complex128 is unsupported on TPU backends
         cap_factor = self.cap_factor
         # fixed padded capacity layouts: bond[i] = vL leg of site i (qconj +1)
         self.bond = []
@@ -136,9 +143,12 @@ class DeviceSweepEngine:
         # can still shift during the fixed-layout sweeps
         qtot = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
         chinfo = psi_leg[0].chinfo
-        interior = (range(1, L) if self.finite else
+        interior = (list(range(1, L)) if self.finite else
                     list(range(1, L)) + [0])
-        for i in interior:
+        # two passes: capacities are clipped by min(rows, cols) computed from
+        # the *neighbor* layouts, so neighbors must be widened first for a
+        # growth-capable (chi-ramp) layout
+        for i in interior + interior:
             iL, iR = (i - 1) % L, i % L
             hint = {}
             for s in range(psi_leg[i].block_number):
@@ -225,6 +235,7 @@ class DeviceSweepEngine:
         if fn is not None:
             return fn
         K, chi, smin, backend = self.K, self.chi_max, self.svd_min, self.backend
+        P_tol, reortho = self.lanczos_P_tol, self.reortho
 
         def step(LP, RP, W0, W1, C, N):
             if move_right:
@@ -237,7 +248,8 @@ class DeviceSweepEngine:
                                    axes=(['vR'], ['vL']))
             W0m = W0.replace_labels(['p', 'p*'], ['p0', 'p0*'])
             W1m = W1.replace_labels(['p', 'p*'], ['p1', 'p1*'])
-            E0, th = _lanczos_K_2site_packed_impl(LP, RP, W0m, W1m, th0, K)
+            E0, th, _, _ = _lanczos_K_2site_packed_impl(
+                LP, RP, W0m, W1m, th0, K, P_tol, 2, reortho)
             A, S, B, err, renorm, n_kept = ps.split_truncate(
                 th, plan, chi, smin, backend)
             if move_right:
@@ -266,6 +278,7 @@ class DeviceSweepEngine:
 
     # ------------------------------------------------------------- updates
     def _update(self, i0, move_right):
+        self._t_update = time.time()
         L = self.L
         iL, iR = i0 % L, (i0 + 1) % L
         LP = self.LPp[iL]
@@ -283,12 +296,19 @@ class DeviceSweepEngine:
         self.Ap[iL] = A
         self.Bp[iR] = B
         self.Sp[bond_mid] = S
+        if self.log_updates:
+            with pk.transfer_guard():
+                E0h, errh = float(jax.device_get(E0)), float(jax.device_get(err))
+            logger.info("  update (%d,%d) %s: E0=%.12f err=%.2e (%.1fs)",
+                        iL, iR, 'R' if move_right else 'L', E0h, errh,
+                        time.time() - self._t_update)
         if move_right:
             self.LPp[iR] = ENVn
         else:
             self.RPp[iL] = ENVn
         self._C = Cn
-        return float(jax.device_get(E0)), float(jax.device_get(err))
+        with pk.transfer_guard():
+            return float(jax.device_get(E0)), float(jax.device_get(err))
 
     # --------------------------------------------------------------- sweep
     def sweep(self):
@@ -336,7 +356,8 @@ class DeviceSweepEngine:
         fresh A[0] tensor with form 'A'.
         """
         psi, L = self.psi, self.L
-        Ss = [np.asarray(jax.device_get(s)) for s in self.Sp]
+        with pk.transfer_guard():
+            Ss = [np.asarray(jax.device_get(s)) for s in self.Sp]
         keeps = []
         for S in Ss:
             keep = S > 0.

@@ -331,6 +331,23 @@ class Array:
         res._data = [b.astype(dtype) for b in self._data]
         return res
 
+    def real_if_close(self, tol=1e-12):
+        """Real-dtype copy if every imaginary part is negligible, else self.
+
+        Host-side on purpose: complex ops must never be dispatched to a TPU
+        backend (no complex128 support there — they crash or hang)."""
+        if not jnp.issubdtype(self.dtype, jnp.complexfloating):
+            return self
+        host = [np.asarray(b) for b in self._data]
+        mx = max((float(np.max(np.abs(np.imag(b)))) for b in host), default=0.)
+        scale = max((float(np.max(np.abs(b))) for b in host), default=1.)
+        if mx > tol * max(scale, 1e-300):
+            return self
+        res = self.copy(deep=False)
+        res.dtype = jnp.dtype(np.zeros(0, np.dtype(str(self.dtype))).real.dtype)
+        res._data = [np.ascontiguousarray(np.real(b)) for b in host]
+        return res
+
     def _set_blocks(self, qdata, data):
         """Set blocks, establishing canonical (row-lexsorted) order."""
         qdata = np.asarray(qdata, QTYPE).reshape(-1, self.rank)
@@ -660,6 +677,67 @@ class Array:
 
     def scale_axis(self, s, axis=-1):
         return self.copy(deep=False).iscale_axis(s, axis)
+
+    def add_charge(self, add_legs, chinfo=None, qtotal=None):
+        """Add further (independent) charges to every leg.
+
+        ``add_legs``: one LegCharge per axis carrying the additional charges
+        (same lengths/qconj).  Returns a new Array over the combined
+        ChargeInfo; legs are neither sorted nor bunched.
+        Reference: ``tenpy/linalg/np_conserved.py:1244`` (``add_charge``).
+        """
+        add_legs = list(add_legs)
+        if len(add_legs) != self.rank:
+            raise ValueError("wrong number of add_legs")
+        legs = [LegCharge.from_add_charge([l, l2], chinfo)
+                for l, l2 in zip(self.legs, add_legs)]
+        dense = self.to_ndarray()
+        new_chinfo = legs[0].chinfo
+        if qtotal is None:
+            qtotal_new = detect_qtotal(dense, legs)
+        else:
+            qtotal_new = np.concatenate([np.asarray(self.qtotal, QTYPE),
+                                         np.asarray(qtotal, QTYPE).ravel()])
+            qtotal_new = new_chinfo.make_valid(qtotal_new)
+        return Array.from_ndarray(dense, legs, dtype=self.dtype,
+                                  qtotal=qtotal_new,
+                                  labels=list(self.get_leg_labels()),
+                                  raise_wrong_sector=True)
+
+    def drop_charge(self, charge=None, chinfo=None):
+        """Remove one charge (or all, if ``charge is None``).
+
+        Keeps the block structure for a single dropped charge.
+        Reference: ``np_conserved.py:1296``."""
+        if charge is None:
+            legs = [LegCharge.from_drop_charge(l, None, chinfo)
+                    for l in self.legs]
+            return Array.from_ndarray(self.to_ndarray(), legs,
+                                      dtype=self.dtype,
+                                      labels=list(self.get_leg_labels()))
+        if isinstance(charge, str):
+            charge = self.chinfo.names.index(charge)
+        legs = [LegCharge.from_drop_charge(l, charge, chinfo)
+                for l in self.legs]
+        res = Array(legs, self.dtype,
+                    np.delete(np.asarray(self.qtotal, QTYPE), charge, 0),
+                    list(self.get_leg_labels()))
+        res._set_blocks(self._qdata.copy(), list(self._data))
+        return res
+
+    def change_charge(self, charge, new_qmod, new_name='', chinfo=None):
+        """Change the qmod of one charge (same block structure).
+
+        Reference: ``np_conserved.py:1324``."""
+        legs = [LegCharge.from_change_charge(l, charge, new_qmod, new_name,
+                                             chinfo)
+                for l in self.legs]
+        new_chinfo = legs[0].chinfo
+        res = Array(legs, self.dtype,
+                    new_chinfo.make_valid(np.asarray(self.qtotal, QTYPE)),
+                    list(self.get_leg_labels()))
+        res._set_blocks(self._qdata.copy(), list(self._data))
+        return res
 
     def iproject(self, mask, axes):
         """Project legs onto boolean masks (reference ``np_conserved.py:1914``)."""

@@ -302,23 +302,111 @@ def pack(a, multiple=64, pad=True, complete=True, pad_labels=None):
         s, i = pos[key]
         block = np.asarray(block)
         bufs[s][(i,) + tuple(slice(0, d) for d in block.shape)] = block
-    # ONE host->device transfer: per-buffer jnp.asarray pays the device
-    # round-trip latency per shape group, which on remote-attached TPUs
-    # dominates by orders of magnitude
-    if bufs:
-        flat = np.concatenate([b.ravel() for b in bufs]) if len(bufs) > 1 \
-            else bufs[0].ravel()
-        dflat = jnp.asarray(flat)
-        data = []
-        off = 0
-        for b in bufs:
-            data.append(jax.lax.slice(dflat, (off,), (off + b.size,))
-                        .reshape(b.shape))
-            off += b.size
-    else:
-        data = []
+    data = _transfer_packed(bufs, np_dtype)
     return PackedArray(legs, qtotal, tuple(a.get_leg_labels()), shapes,
                        qdatas, data, a.dtype)
+
+
+_SPLIT_JIT_CACHE = {}
+_KEEPALIVE = {'thread': None, 'stop': None}
+
+# All host<->device transfers are serialized behind one lock: the remote-TPU
+# (axon) tunnel client both (a) loses transfer streams that sit idle while
+# the host is CPU-busy and (b) can deadlock under concurrent transfers from
+# multiple threads.  Use `transfer_guard()` around every device_put/get.
+import threading as _threading
+_TRANSFER_LOCK = _threading.RLock()
+
+
+def transfer_guard():
+    return _TRANSFER_LOCK
+
+
+def start_transfer_keepalive(interval=4.0, n_streams=8):
+    """Keep the remote-TPU (axon) tunnel's transfer streams alive.
+
+    Empirically the tunnel pools a handful of transfer streams which die
+    while the host is CPU-busy; the next device_put that rotates onto a dead
+    stream hangs forever.  This daemon thread cycles tiny transfers through
+    the pool every ``interval`` seconds so every stream stays warm.  No-op on
+    CPU backends and when already running.
+    """
+    import threading
+    if jax.default_backend() == 'cpu' or _KEEPALIVE['thread'] is not None:
+        return
+
+    stop = threading.Event()
+
+    def loop():
+        probe = np.zeros(8)
+        while not stop.wait(interval):
+            try:
+                with _TRANSFER_LOCK:
+                    for _ in range(n_streams):
+                        x = jax.device_put(probe)
+                        jax.block_until_ready(x)
+                    jax.device_get(x)
+            except Exception:
+                pass   # never let the keepalive kill the program
+
+    t = threading.Thread(target=loop, daemon=True,
+                         name='tenpy-tpu-transfer-keepalive')
+    t.start()
+    _KEEPALIVE['thread'] = t
+    _KEEPALIVE['stop'] = stop
+
+
+def stop_transfer_keepalive():
+    if _KEEPALIVE['stop'] is not None:
+        _KEEPALIVE['stop'].set()
+        _KEEPALIVE['thread'] = None
+        _KEEPALIVE['stop'] = None
+
+
+def _transfer_packed(bufs, np_dtype):
+    """Host buffers -> device, as ONE flat 1-D transfer + one jitted split.
+
+    Empirically the only robust transfer pattern through the remote-TPU
+    (axon) tunnel: multi-dimensional / batched device_puts can hang
+    indefinitely depending on process history, while flat 1-D puts are
+    reliable.  The split (slice+reshape per group) is a single jitted program
+    per structure signature, compiled once and cached in-process.
+    """
+    if not bufs:
+        return []
+    if np.issubdtype(np.dtype(np_dtype), np.complexfloating) and \
+            jax.default_backend() not in ('cpu',):
+        # device_put of complex128 HANGS silently through the axon tunnel
+        # (TPU has no complex128); fail loudly instead.  Real states that
+        # picked up ~0 imaginary junk should call .real_if_close() first.
+        raise NotImplementedError(
+            "complex128 block data cannot be transferred to this TPU backend;"
+            " use MPS/Array.real_if_close() for physically real states "
+            "(genuine complex support on device needs split real/imag "
+            "storage)")
+    shapes = tuple(b.shape for b in bufs)
+    flat = np.concatenate([b.reshape(-1) for b in bufs]) if len(bufs) > 1 \
+        else bufs[0].reshape(-1)
+    with _TRANSFER_LOCK:
+        dflat = jax.device_put(flat)
+        jax.block_until_ready(dflat)
+    key = (shapes, np.dtype(np_dtype).str)
+    fn = _SPLIT_JIT_CACHE.get(key)
+    if fn is None:
+        def split(x, shapes=shapes):
+            out = []
+            off = 0
+            for s in shapes:
+                n = int(np.prod(s, dtype=np.int64))
+                out.append(jax.lax.slice(x, (off,), (off + n,)).reshape(s))
+                off += n
+            return out
+        fn = jax.jit(split)
+        if len(_SPLIT_JIT_CACHE) > 512:
+            for k_old in list(_SPLIT_JIT_CACHE)[:256]:
+                del _SPLIT_JIT_CACHE[k_old]
+        _SPLIT_JIT_CACHE[key] = fn
+    return list(fn(dflat))
 
 
 def unpack(p, orig_legs=None, purge=True):
@@ -330,8 +418,9 @@ def unpack(p, orig_legs=None, purge=True):
     legs = tuple(orig_legs) if orig_legs is not None else p.legs
     res = npc.Array(list(legs), p.dtype, np.asarray(p.qtotal, QTYPE),
                     list(p._labels))
-    # ONE device->host transfer (cf. pack)
-    host_data = jax.device_get(list(p.data))
+    # ONE device->host transfer (cf. pack), serialized (see transfer_guard)
+    with _TRANSFER_LOCK:
+        host_data = jax.device_get(list(p.data))
     rows = []
     blocks = []
     for shape, q, d in zip(p.shapes, p.qdatas, host_data):

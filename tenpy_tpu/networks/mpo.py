@@ -1366,6 +1366,12 @@ class MPOTransferMatrix:
             val, vec = TM.dominant_eigenvector(options=options)
             if abs(1. - val) > tol_ev0:
                 logger.warning("MPOTransferMatrix eigenvalue not 1: got %s", val)
+            if not jnp.issubdtype(psi.dtype, jnp.complexfloating) and \
+                    not jnp.issubdtype(H.dtype, jnp.complexfloating):
+                # real H, real psi: the dominant fixed point can be chosen
+                # real; the Arnoldi eigenvector must not upcast the whole
+                # downstream state (complex128 has no TPU support)
+                vec = vec.real_if_close(tol=1e-10)
             envs.append(vec)
             if calc_E:
                 Es.append(np.real_if_close(TM.energy(vec)))

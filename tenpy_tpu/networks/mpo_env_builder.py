@@ -33,6 +33,7 @@ from __future__ import annotations
 import logging
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..linalg import np_conserved as npc
 from ..linalg.sparse import NpcLinearOperator
@@ -315,8 +316,14 @@ class MPOEnvironmentBuilder:
         """
         names = ['RP', 'LP'] if which == 'both' else [which]
         envs, Es = {}, {}
+        real_in = not jnp.issubdtype(self.ket.dtype, jnp.complexfloating) and \
+            not jnp.issubdtype(self.H.dtype, jnp.complexfloating)
         for name in names:
             env, eps = self._build_one(name, gmres_options)
+            if real_in:
+                # real H + real psi: keep environments real (GMRES may run in
+                # complex arithmetic); complex128 is unsupported on TPU
+                env = env.real_if_close(tol=1e-10)
             envs[name] = env
             Es[name] = eps / self.L
         init_env_data = {}

@@ -989,9 +989,35 @@ class MPS:
     # ---------------------------------------------------------------- canonicalization
     def canonical_form(self, **kwargs):
         """Bring the MPS into canonical form (finite or infinite dispatch)."""
+        orig_dtype = self.dtype
         if self.finite:
-            return self.canonical_form_finite(**kwargs)
-        return self.canonical_form_infinite(**kwargs)
+            res = self.canonical_form_finite(**kwargs)
+        else:
+            res = self.canonical_form_infinite(**kwargs)
+        if not jnp.issubdtype(orig_dtype, jnp.complexfloating):
+            self.real_if_close()
+        return res
+
+    def real_if_close(self, tol=1e-12):
+        """Drop a negligible imaginary part (in place; no-op for real states).
+
+        Gauge/canonicalization eigensolvers (Arnoldi, transfer-matrix fixed
+        points) can silently upcast a physically real state to complex with
+        ~1e-16 imaginary junk.  Besides wasting memory, complex128 is
+        unsupported on TPU, so keeping real states real is load-bearing for
+        the device path."""
+        if not jnp.issubdtype(self.dtype, jnp.complexfloating):
+            return self
+        mx = max((float(np.max(np.abs(np.imag(np.asarray(b)))))
+                  for B in self._B for b in B._data), default=0.)
+        scale = max((float(np.max(np.abs(np.asarray(b))))
+                     for B in self._B for b in B._data), default=1.)
+        if mx > tol * max(scale, 1e-300):
+            return self   # genuinely complex (or complex by a global phase)
+        for i, B in enumerate(self._B):
+            self._B[i] = B.real_if_close(tol=tol)
+        self.dtype = jnp.result_type(*[B.dtype for B in self._B])
+        return self
 
     def _stripped_tensors(self, pinv_cutoff=None):
         """Raw chain tensors whose plain product is the state.

@@ -95,3 +95,36 @@ def test_legpipe_conj():
     cpipe = pipe.conj()
     pipe.test_contractible(cpipe)
     assert all(l1.qconj == -l2.qconj for l1, l2 in zip(pipe.legs, cpipe.legs))
+
+
+def test_add_drop_change_charge():
+    """Array.add_charge / drop_charge / change_charge (ref np_conserved.py:1244)."""
+    import numpy as np
+    from tenpy_tpu.linalg import np_conserved as npc
+    from tenpy_tpu.linalg.charges import ChargeInfo, LegCharge
+
+    ci = ChargeInfo([1], ['Sz'])
+    leg = LegCharge.from_qflat(ci, [[1], [-1]])
+    Sz = npc.Array.from_ndarray(np.diag([0.5, -0.5]), [leg, leg.conj()],
+                                labels=['p', 'p*'])
+    # add a parity Z2 charge
+    ci2 = ChargeInfo([2], ['par'])
+    add = LegCharge.from_qflat(ci2, [[1], [0]])
+    Sz2 = Sz.add_charge([add, add.conj()])
+    assert Sz2.chinfo.qnumber == 2
+    assert Sz2.chinfo.names == ('Sz', 'par')
+    assert np.allclose(Sz2.to_ndarray(), Sz.to_ndarray())
+    # drop the added charge again
+    Sz3 = Sz2.drop_charge('par')
+    assert Sz3.chinfo.qnumber == 1
+    assert np.allclose(Sz3.to_ndarray(), Sz.to_ndarray())
+    # drop all
+    Sz4 = Sz2.drop_charge()
+    assert Sz4.chinfo.qnumber == 0
+    assert np.allclose(Sz4.to_ndarray(), Sz.to_ndarray())
+    # change U(1) -> Z_2
+    Sz5 = Sz.change_charge('Sz', 2, 'Sz_parity')
+    assert Sz5.chinfo.mod == (2,)
+    assert np.allclose(Sz5.to_ndarray(), Sz.to_ndarray())
+    for a in (Sz2, Sz3, Sz4, Sz5):
+        a.test_sanity()

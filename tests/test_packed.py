@@ -177,7 +177,7 @@ def test_packed_device_lanczos_vs_host():
     pRP = packed.pack(RP, multiple=8, pad_labels=VIRT)
     pW0, pW1 = packed.pack(W0, pad=False), packed.pack(W1, pad=False)
     pth = packed.pack(theta, multiple=8, pad_labels=VIRT)
-    E0, th = lanczos_K_2site_packed(pLP, pRP, pW0, pW1, pth, 24)
+    E0, th, _, _ = lanczos_K_2site_packed(pLP, pRP, pW0, pW1, pth, 24)
     th = packed.unpack(jax.device_get(th), orig_legs=theta.legs)
     assert abs(float(E0) - E_ref) < 1e-10 * max(1., abs(E_ref))
     ov = abs(complex(npc.inner(th.conj(), th_ref, axes='range')))
