@@ -143,7 +143,7 @@ class SplitPlan:
     """
     __slots__ = ('groups', 'A_struct', 'B_struct', 'A_idx', 'B_idx', 'S_idx',
                  'bond', 'bond_dim', 'theta_legs', 'theta_labels',
-                 'qtotal_A', 'qtotal_B', 'guess_S_idx')
+                 'qtotal_A', 'qtotal_B', 'flat_lens')
 
     pass
 
@@ -349,7 +349,20 @@ def _build_split_plan(theta_p, bond, qtotal_A, group_multiple):
         start = int(bond.slices[b])
         S_idx[start:start + kk] = soffs[g_i] + n_i * g.K + np.arange(kk)
 
+    # On TPU, jnp.take(mode='fill') mishandles negative indices (they wrap
+    # to the end instead of producing fill_value — an XLA lowering bug), so
+    # ALL index maps use an explicit zero slot appended to the flat buffers:
+    # sentinel -1 is remapped to index <flat_len> at build time.
+    theta_len = sum(int(np.prod(sh, dtype=np.int64)) * q.shape[0]
+                    for sh, q in zip(theta_p.shapes, theta_p.qdatas))
+    for g in groups:
+        g.idx = np.where(g.idx < 0, theta_len, g.idx).astype(np.int32)
+    A_idx = [np.where(ii < 0, uo, ii).astype(np.int32) for ii in A_idx]
+    B_idx = [np.where(ii < 0, vo, ii).astype(np.int32) for ii in B_idx]
+    S_idx = np.where(S_idx < 0, so, S_idx)
+
     plan = SplitPlan.__new__(SplitPlan)
+    plan.flat_lens = (theta_len, uo, vo, so)
     plan.groups = groups
     plan.A_struct = (A_legs, tuple(int(x) for x in qtotal_A), A_shapes, A_qdatas)
     plan.B_struct = (B_legs, tuple(int(x) for x in qtotal_B), B_shapes, B_qdatas)
@@ -366,6 +379,115 @@ def _build_split_plan(theta_p, bond, qtotal_A, group_multiple):
 
 
 # ----------------------------------------------------------- decompositions
+@lru_cache(maxsize=64)
+def _jacobi_schedule(n):
+    """Round-robin (tournament) pairing: (n-1) rounds of n//2 disjoint pairs.
+
+    Static numpy schedule; every unordered pair appears exactly once per
+    sweep.  Classic parallel-Jacobi ordering (Brent/Luk)."""
+    assert n % 2 == 0
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        pairs = [(players[i], players[n - 1 - i]) for i in range(n // 2)]
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    sched = np.array(rounds, np.int32)          # (n-1, n//2, 2)
+    return np.minimum(sched[..., 0], sched[..., 1]), \
+        np.maximum(sched[..., 0], sched[..., 1])
+
+
+def _decomp_jacobi(M, sweeps=14):
+    """Batched SVD via one-sided Jacobi: the TPU-native decomposition.
+
+    Orthogonalizes the *columns* of M with (n-1) parallel rounds of n/2
+    disjoint Givens rotations per sweep (static round-robin schedule, no
+    data-dependent control flow): XLA-friendly, guaranteed-terminating, exact
+    on zero/padded columns (they never rotate), and — unlike the Gram/eigh
+    route — full f64 relative accuracy on small singular values.  This is
+    the workhorse for the device truncation: the stock jnp.linalg.svd/eigh
+    lowerings on this TPU stack crash the compiler (f32), return NaN, or
+    hang in non-convergent internal loops on padded rank-deficient inputs.
+    """
+    swap = M.shape[-2] < M.shape[-1]
+    if swap:
+        M = jnp.swapaxes(M, -1, -2)
+    B, R, C = M.shape
+    pad = C % 2
+    if pad:
+        M = jnp.pad(M, ((0, 0), (0, 0), (0, 1)))
+        C += 1
+    ps_, qs_ = _jacobi_schedule(C)
+    ps_ = jnp.asarray(ps_)                       # (C-1, C//2)
+    qs_ = jnp.asarray(qs_)
+    V0 = jnp.broadcast_to(jnp.eye(C, dtype=M.dtype), (B, C, C))
+
+    def round_body(r, AV):
+        A, V = AV
+        p = ps_[r]
+        q = qs_[r]
+        Ap = jnp.take(A, p, axis=2)              # (B, R, C//2)
+        Aq = jnp.take(A, q, axis=2)
+        app = jnp.sum(jnp.abs(Ap) ** 2, axis=1)  # (B, C//2)
+        aqq = jnp.sum(jnp.abs(Aq) ** 2, axis=1)
+        apq = jnp.sum(jnp.conj(Ap) * Aq, axis=1)
+        abs_apq = jnp.abs(apq)
+        # complex support: rotate q-column phase so the pair problem is real
+        phase = jnp.where(abs_apq > 0, apq / jnp.where(abs_apq > 0, abs_apq,
+                                                       1.), 1.)
+        tiny = abs_apq <= 1e-300 + 1e-18 * jnp.sqrt(app * aqq)
+        tau = (aqq - app) / jnp.where(tiny, 1., 2. * abs_apq)
+        # clamp: tau -> inf as the pair converges, and inf arithmetic breaks
+        # the TPU's float-float f64 emulation (NaN); at |tau|=1e18 the
+        # rotation is ~3e-19 — identical physics, finite intermediates
+        tau = jnp.clip(tau, -1e18, 1e18)
+        # sign(0) must be +1: exactly degenerate columns (tau = 0) need the
+        # full 45-degree rotation, jnp.sign's 0 would freeze them unorthogonal
+        sgn = jnp.where(tau >= 0., 1., -1.)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1. + tau ** 2))
+        t = jnp.where(tiny, 0., t)
+        c = 1. / jnp.sqrt(1. + t ** 2)
+        s = (t * c).astype(M.dtype) * phase
+        c = c.astype(M.dtype)
+
+        def rot(X, Xp, Xq):
+            new_p = c[:, None, :] * Xp - jnp.conj(s)[:, None, :] * Xq
+            new_q = s[:, None, :] * Xp + c[:, None, :] * Xq
+            X = _scatter_cols(X, p, new_p)
+            return _scatter_cols(X, q, new_q)
+
+        A = rot(A, Ap, Aq)
+        Vp = jnp.take(V, p, axis=2)
+        Vq = jnp.take(V, q, axis=2)
+        V = rot(V, Vp, Vq)
+        return (A, V)
+
+    def sweep_body(_, AV):
+        return jax.lax.fori_loop(0, C - 1, round_body, AV)
+
+    A, V = jax.lax.fori_loop(0, sweeps, sweep_body, (M, V0))
+    S = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=1))          # (B, C)
+    order = jnp.argsort(-S, axis=-1)
+    S = jnp.take_along_axis(S, order, -1)
+    A = jnp.take_along_axis(A, order[:, None, :], -1)
+    V = jnp.take_along_axis(V, order[:, None, :], -1)
+    good = S > 0
+    U = A * jnp.where(good, 1. / jnp.where(good, S, 1.), 0.)[:, None, :]
+    K = min(R, C - pad)
+    U = U[:, :, :K]
+    S = S[:, :K]
+    V = V[:, :C - pad, :K]     # drop the padded column's row slot (zeros)
+    if swap:
+        return V, S, U
+    return U, S, V
+
+
+def _scatter_cols(X, idx, vals):
+    """X[:, :, idx] = vals with idx a traced 1-D index array."""
+    return jnp.swapaxes(jnp.swapaxes(X, 1, 2).at[:, idx].set(
+        jnp.swapaxes(vals, 1, 2)), 1, 2)
+
+
 def _decomp_svd(M):
     U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
     V = jnp.conj(jnp.swapaxes(Vh, -1, -2))
@@ -415,6 +537,8 @@ def _decomp_qr_eigh(M, f32_seed=False):
 def _decomp(M, backend):
     if backend == 'svd':
         return _decomp_svd(M)
+    if backend == 'jacobi':
+        return _decomp_jacobi(M)
     if backend == 'qr_eigh':
         return _decomp_qr_eigh(M, f32_seed=False)
     if backend == 'qr_eigh32':
@@ -426,7 +550,10 @@ def _resolve_backend(backend):
     if backend in (None, 'auto'):
         backend = DEFAULT_BACKEND
     if backend == 'auto':
-        backend = 'svd' if jax.default_backend() == 'cpu' else 'qr_eigh'
+        # TPU: the stock svd/eigh lowerings crash (f32), NaN, or hang in
+        # non-convergent internal loops on padded rank-deficient inputs;
+        # the fixed-iteration one-sided Jacobi is the robust device path
+        backend = 'svd' if jax.default_backend() == 'cpu' else 'jacobi'
     return backend
 
 
@@ -456,14 +583,15 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
     order = [theta_p.get_leg_index(l) for l in ('vL', 'p0', 'p1', 'vR')]
     if order != [0, 1, 2, 3]:
         theta_p = theta_p.transpose(order)
-    flat = jnp.concatenate([d.reshape(-1) for d in theta_p.data])
     dtype = theta_p.dtype
     real = jnp.zeros((), dtype).real.dtype
+    flat = jnp.concatenate([d.reshape(-1) for d in theta_p.data]
+                           + [jnp.zeros(1, dtype)])   # zero slot (see plan)
 
     Us, Ss, Vs = [], [], []
     for g in plan.groups:
-        M = jnp.take(flat, jnp.asarray(g.idx.reshape(-1)), mode='fill',
-                     fill_value=0).reshape(g.N, g.R, g.C)
+        M = jnp.take(flat, jnp.asarray(g.idx.reshape(-1)),
+                     mode='clip').reshape(g.N, g.R, g.C)
         U, S, V = _decomp(M, backend)
         Us.append(U)
         Ss.append(jnp.where(jnp.asarray(g.cap_mask), S.astype(real), 0.))
@@ -478,7 +606,9 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
     # global top-chi threshold
     k = min(int(chi_max), allS.shape[0])
     thr_chi = jax.lax.top_k(allS, k)[0][-1]
-    thr = jnp.maximum(thr_chi, svd_min * nrm)
+    # floor at 1e-14: values below f64 roundoff of the dominant Schmidt value
+    # are numerically meaningless (their "singular vectors" are junk)
+    thr = jnp.maximum(thr_chi, max(svd_min, 1e-14) * nrm)
 
     masks = [(S >= thr) & (S > 0) for S in Ss]
     kept = sum(jnp.sum(S ** 2 * m) for S, m in zip(Ss, masks))
@@ -486,29 +616,30 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
     err = jnp.maximum(0., 1. - kept / tot)
     renorm = jnp.sqrt(kept)
 
+    zslot = [jnp.zeros(1, dtype)]
     flatU = jnp.concatenate([
         (U * m[:, None, :].astype(U.dtype)).reshape(-1)
-        for U, m in zip(Us, masks)])
+        for U, m in zip(Us, masks)] + zslot)
     flatV = jnp.concatenate([
         (V * m[:, None, :].astype(V.dtype)).reshape(-1)
-        for V, m in zip(Vs, masks)])
+        for V, m in zip(Vs, masks)] + zslot)
     flatS = jnp.concatenate([
-        (S * m / renorm).reshape(-1) for S, m in zip(Ss, masks)])
+        (S * m / renorm).reshape(-1) for S, m in zip(Ss, masks)]
+        + [jnp.zeros(1, real)])
 
     A_legs, qtot_A, A_shapes, A_qdatas = plan.A_struct
-    A_data = [jnp.take(flatU, jnp.asarray(ii.reshape(-1)), mode='fill',
-                       fill_value=0).reshape((qd.shape[0],) + shape)
+    A_data = [jnp.take(flatU, jnp.asarray(ii.reshape(-1)), mode='clip')
+              .reshape((qd.shape[0],) + shape)
               for ii, shape, qd in zip(plan.A_idx, A_shapes, A_qdatas)]
     A = pk.PackedArray(A_legs, qtot_A, ('vL', 'p', 'vR'), A_shapes, A_qdatas,
                        A_data, dtype)
     B_legs, qtot_B, B_shapes, B_qdatas = plan.B_struct
-    B_data = [jnp.conj(jnp.take(flatV, jnp.asarray(ii.reshape(-1)), mode='fill',
-                                fill_value=0)).reshape((qd.shape[0],) + shape)
+    B_data = [jnp.conj(jnp.take(flatV, jnp.asarray(ii.reshape(-1)),
+                                mode='clip')).reshape((qd.shape[0],) + shape)
               for ii, shape, qd in zip(plan.B_idx, B_shapes, B_qdatas)]
     B = pk.PackedArray(B_legs, qtot_B, ('vL', 'p', 'vR'), B_shapes, B_qdatas,
                        B_data, dtype)
-    S_flat = jnp.take(flatS, jnp.asarray(plan.S_idx), mode='fill',
-                      fill_value=0)
+    S_flat = jnp.take(flatS, jnp.asarray(plan.S_idx), mode='clip')
     return A, S_flat, B, err, renorm * nrm, n_kept
 
 

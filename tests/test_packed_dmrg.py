@@ -34,7 +34,7 @@ def _ramped_state(L=8, chi=24, sweeps=3, bc='finite', S=1):
     return m, psi, E
 
 
-@pytest.mark.parametrize('backend', ['svd', 'qr_eigh', 'qr_eigh32'])
+@pytest.mark.parametrize('backend', ['svd', 'jacobi', 'qr_eigh', 'qr_eigh32'])
 def test_split_truncate_vs_svd_theta(backend):
     m, psi, _ = _ramped_state()
     i0 = 3
@@ -56,7 +56,7 @@ def test_split_truncate_vs_svd_theta(backend):
     A, Sf, B, err_p, renorm_p, n_kept = ps.split_truncate(
         theta_p, plan, chi_max=20, svd_min=1e-10, backend=backend)
     Sf = np.asarray(Sf)
-    tol = 1e-10 if backend != 'qr_eigh32' else 1e-5
+    tol = {'qr_eigh32': 1e-5, 'jacobi': 1e-9}.get(backend, 1e-10)
     assert int(n_kept) == len(S)
     s_dev = np.sort(Sf[Sf > 0])[::-1]
     assert np.allclose(np.sort(np.asarray(S))[::-1], s_dev, atol=tol)
