@@ -389,4 +389,6 @@ class DeviceSweepEngine:
         if not self.finite:
             # iDMRG tensors stem from different updates: across the unit-cell
             # wrap the bond bases drift at the convergence level — re-gauge
-            self.psi.canonical_form_infinite()
+            # (canonical_form wrapper also restores a real dtype: the gauge
+            # eigensolvers may upcast, and complex128 cannot go back on TPU)
+            self.psi.canonical_form()

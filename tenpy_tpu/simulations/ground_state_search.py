@@ -30,7 +30,8 @@ from ..tools.misc import find_subclass
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['GroundStateSearch', 'OrthogonalExcitations', 'PlaneWaveExcitations']
+__all__ = ['GroundStateSearch', 'OrthogonalExcitations', 'TopologicalExcitations',
+           'PlaneWaveExcitations']
 
 
 class OrthogonalExcitations(GroundStateSearch):
@@ -177,6 +178,178 @@ class OrthogonalExcitations(GroundStateSearch):
                         E - self.results['ground_state_energy'])
             self.make_measurements()
         return self.results['excitation_energies']
+
+
+class TopologicalExcitations(OrthogonalExcitations):
+    """Domain-wall (topological) excitations: different left/right ground states.
+
+    A finite segment is built whose *left* half comes from ground state
+    ``alpha`` and whose *right* half from ground state ``beta`` (two
+    degenerate, symmetry-broken — or topologically distinct — ground states
+    of the same model).  The two halves are glued at ``segment_boundary`` by
+    solving the zero-site problem ``LP_alpha -- RP_beta`` on the interface
+    bond in a chosen *gluing charge* sector, and DMRG then relaxes the domain
+    wall inside the fixed alpha/beta environments.  Excitation energies are
+    measured relative to the glued unrelaxed reference state.
+
+    Reference: ``tenpy/simulations/ground_state_search.py:647``
+    (``TopologicalExcitations``).
+
+    Options (on top of :class:`OrthogonalExcitations`):
+    ``ground_state_filename_left`` / ``_right`` (or constructor kwargs
+    ``gs_data_alpha`` / ``gs_data_beta``), ``segment_enlarge`` (infinite
+    case, default 2), ``segment_boundary`` (site index; default: middle),
+    ``join_method`` ('average charge' | 'most probable charge'),
+    ``switch_charge_sector`` (charge vector added to the gluing charge).
+    """
+
+    def __init__(self, options, *, gs_data_alpha=None, gs_data_beta=None,
+                 **kwargs):
+        super().__init__(options, **kwargs)
+        self._gs_data_alpha = gs_data_alpha
+        self._gs_data_beta = gs_data_beta
+
+    def _load_pair(self):
+        def load(data, key):
+            if data is None:
+                fn = self.options.get(key, None)
+                if fn is None:
+                    raise ValueError(f"TopologicalExcitations needs {key}")
+                data = tio.load(fn)
+            return data if isinstance(data, MPS) else data['psi']
+        psi_a = load(self._gs_data_alpha, 'ground_state_filename_left')
+        psi_b = load(self._gs_data_beta, 'ground_state_filename_right')
+        return psi_a, psi_b
+
+    def init_state(self):
+        psi_a, psi_b = self._load_pair()
+        if psi_a.L != psi_b.L or psi_a.bc != psi_b.bc:
+            raise ValueError("left/right ground states are incompatible")
+        for psi in (psi_a, psi_b):
+            if float(np.max(psi.norm_test())) > 1e-10 and psi.bc != 'segment':
+                psi.canonical_form()
+        self.ground_state = self._glue(psi_a, psi_b)
+        # the glued state IS the (unrelaxed) domain-wall trial state: the
+        # first DMRG run relaxes it without orthogonalization; further
+        # excitations orthogonalize against the found kinks
+        self.orthogonal_to = []
+        self.psi = self.ground_state.copy()
+        if self.options.get('save_psi', True, bool):
+            self.results['psi'] = self.psi
+
+    def _initial_guess(self):
+        if not self.excitations:
+            return self.ground_state.copy()
+        return super()._initial_guess()
+
+    def _glue(self, psi_a, psi_b):
+        from ..networks.mpo import MPOEnvironment, MPOTransferMatrix
+        from ..algorithms.mps_common import ZeroSiteH
+        from ..linalg import krylov_based
+        from ..linalg import np_conserved as npc
+        H = self.model.H_MPO
+        L = psi_a.L
+        if psi_a.bc == 'infinite':
+            enlarge = self.options.get('segment_enlarge', 2, int)
+            first, last = 0, enlarge * L - 1
+            boundary = self.options.get('segment_boundary',
+                                        (enlarge // 2) * L, int)
+            env_data_a, Es, _ = MPOTransferMatrix.find_init_LP_RP(
+                H, psi_a, calc_E=True)
+            env_data_b, _, _ = MPOTransferMatrix.find_init_LP_RP(
+                H, psi_b, calc_E=True)
+            self.results['ground_state_energy_density'] = float(np.real(Es[0]))
+            env_a = MPOEnvironment(psi_a, H, psi_a, **env_data_a)
+            env_b = MPOEnvironment(psi_b, H, psi_b, **env_data_b)
+            self.model_inf = self.model
+            self.model = self.model.extract_segment(enlarge=enlarge)
+        else:
+            first = self.options.get('segment_first', 0, int)
+            last = self.options.get('segment_last', psi_a.L - 1, int)
+            if last is None:
+                last = psi_a.L - 1
+            boundary = self.options.get('segment_boundary',
+                                        (last + 1 - first) // 2 + first, int)
+            env_a = MPOEnvironment(psi_a, H, psi_a)
+            env_b = MPOEnvironment(psi_b, H, psi_b)
+            self.model_orig = self.model
+            self.model = self.model.extract_segment(first, last)
+        if not (first < boundary <= last):
+            raise ValueError("segment_boundary outside the segment")
+        # boundary-bond environments (LP strictly left of `boundary`, RP
+        # strictly right of `boundary - 1` -> both live on the gluing bond)
+        LP_mid = env_a.get_LP(boundary)
+        RP_mid = env_b.get_RP(boundary - 1)
+        self.init_env_data = {'init_LP': env_a.get_LP(first),
+                              'init_RP': env_b.get_RP(last),
+                              'age_LP': 0, 'age_RP': 0}
+        seg_a = psi_a.extract_segment(first, boundary - 1)
+        seg_b = psi_b.extract_segment(boundary, last)
+
+        # ---- gluing charge
+        vL = LP_mid.get_leg('vR').conj()
+        vR = RP_mid.get_leg('vL').conj()
+        chinfo = vL.chinfo
+        join_method = self.options.get('join_method', 'average charge', str)
+        switch = self.options.get('switch_charge_sector', None)
+        qtotal_glue = chinfo.make_valid()
+        if chinfo.qnumber > 0:
+            if join_method == 'average charge' and psi_a.bc == 'infinite':
+                Qa = np.mean([psi_a.average_charge(i) for i in range(L)], 0)
+                Qb = np.mean([psi_b.average_charge(i) for i in range(L)], 0)
+            else:
+                pa = seg_a.probability_per_charge(seg_a.L)
+                pb = seg_b.probability_per_charge(0)
+                Qa = np.asarray(max(pa, key=lambda qp: qp[1])[0], float)
+                Qb = np.asarray(max(pb, key=lambda qp: qp[1])[0], float)
+            Q_offset = Qa - Qb
+            glue = Q_offset if switch is None else \
+                np.asarray(switch, float) + Q_offset
+            qtotal_glue = chinfo.make_valid(np.around(glue))
+            logger.info("gluing charge: %r (offset %r)", qtotal_glue, Q_offset)
+        # ---- zero-site interface problem in the gluing sector
+        H0 = ZeroSiteH.from_LP_RP(LP_mid, RP_mid)
+        th0 = npc.Array.from_func(np.ones, [vL, vR],
+                                  qtotal=list(np.asarray(qtotal_glue, int)),
+                                  labels=['vL', 'vR'])
+        if float(npc.norm(th0)) == 0.:
+            raise ValueError(f"gluing charge {qtotal_glue!r} not reachable "
+                             "on the interface bond")
+        lanczos_params = self.options.subconfig('lanczos_params')
+        _, th0, _ = krylov_based.LanczosGroundState(H0, th0,
+                                                    lanczos_params).run()
+        U, s, Vh = npc.svd(th0, cutoff=1e-14, inner_labels=['vR', 'vL'])
+        A_last = npc.tensordot(seg_a.get_B(seg_a.L - 1, 'A'), U,
+                               axes=[['vR'], ['vL']])
+        seg_a.set_B(seg_a.L - 1, A_last, form='A')
+        seg_a.set_SR(seg_a.L - 1, np.asarray(s))
+        B_first = npc.tensordot(Vh, seg_b.get_B(0, 'B'),
+                                axes=[['vR'], ['vL']])
+        seg_b.set_B(0, B_first, form='B')
+        seg_b.set_SL(0, np.asarray(s))
+        # ---- energy reference: the *uniform* alpha state on the segment
+        # with the same left environment (the domain-wall energy is measured
+        # against the uniform background; gauge constants cancel for
+        # degenerate alpha/beta)
+        seg_a_full = psi_a.extract_segment(first, last)
+        env_ref = MPOEnvironment(seg_a_full, self.model.H_MPO, seg_a_full,
+                                 init_LP=env_a.get_LP(first),
+                                 init_RP=env_a.get_RP(last),
+                                 age_LP=0, age_RP=0)
+        E_ref = float(np.real(env_ref.full_contraction(1)))
+        self.options['ground_state_energy'] = E_ref
+        logger.info("uniform-segment reference energy: %.14f", E_ref)
+        # ---- concatenate into one segment MPS
+        sites = seg_a.sites + seg_b.sites
+        tensors = [seg_a.get_B(i, 'A') for i in range(seg_a.L)] + \
+            [seg_b.get_B(i, 'B') for i in range(seg_b.L)]
+        Ss = [np.asarray(seg_a.get_SL(i)) for i in range(seg_a.L)] + \
+            [np.asarray(seg_b.get_SL(i)) for i in range(seg_b.L)] + \
+            [np.asarray(seg_b.get_SR(seg_b.L - 1))]
+        forms = ['A'] * seg_a.L + ['B'] * seg_b.L
+        glued = MPS(sites, tensors, Ss, bc='segment', form=forms,
+                    norm=psi_a.norm)
+        return glued
 
 
 class PlaneWaveExcitations(GroundStateSearch):
