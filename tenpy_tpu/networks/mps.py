@@ -27,7 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..linalg import np_conserved as npc
-from ..linalg.charges import ChargeInfo, LegCharge, LegPipe
+from ..linalg.charges import ChargeInfo, LegCharge, LegPipe, QTYPE
 from ..linalg.truncation import TruncationError, svd_theta, truncate
 from ..tools.misc import to_iterable, argsort
 from ..tools.math import entropy
@@ -293,6 +293,225 @@ class MPS:
         else:
             raise ValueError("wrong dimension of p_state")
         return cls.from_product_state(sites, p_state_flat, bc=lat.bc_MPS, **kwargs)
+
+    @classmethod
+    def project_onto_charge_sector(cls, sites, p_state_list, charge_sector,
+                                   dtype=float, bc='finite', form='B',
+                                   norm=1.0):
+        """MPS: product of local (superposition) states projected onto a
+        total charge sector.
+
+        The bond bases track the accumulated charge; the MPO-free projection
+        keeps, per bond, only accumulated charges from which `charge_sector`
+        is still reachable.  The result is canonicalized.
+        Reference: ``tenpy/networks/mps.py:958``.
+        """
+        if bc != 'finite':
+            raise NotImplementedError("projection needs finite bc")
+        L = len(sites)
+        chinfo = sites[0].leg.chinfo
+        if chinfo.qnumber == 0:
+            raise ValueError("sites conserve no charge: projection is "
+                             "meaningless")
+        target = np.asarray(chinfo.make_valid(
+            np.asarray(charge_sector, QTYPE)), QTYPE)
+        # forward pass: reachable accumulated charges per bond
+        reach = [{tuple(chinfo.make_valid())}]
+        qflat_sites = []
+        for i in range(L):
+            qflat = np.asarray(sites[i].leg.to_qflat(), QTYPE) \
+                * sites[i].leg.qconj
+            qflat_sites.append(qflat)
+            nxt = set()
+            for q in reach[-1]:
+                for p in range(len(qflat)):
+                    nxt.add(tuple(chinfo.make_valid(
+                        np.asarray(q, QTYPE) + qflat[p])))
+            reach.append(nxt)
+        if tuple(target) not in reach[-1]:
+            raise ValueError("charge_sector unreachable from these sites")
+        # backward pass: keep only charges from which target is reachable
+        keep = [set() for _ in range(L + 1)]
+        keep[L] = {tuple(target)}
+        for i in range(L - 1, -1, -1):
+            for q in reach[i]:
+                for p in range(len(qflat_sites[i])):
+                    q2 = tuple(chinfo.make_valid(
+                        np.asarray(q, QTYPE) + qflat_sites[i][p]))
+                    if q2 in keep[i + 1]:
+                        keep[i].add(q)
+                        break
+        bonds = [sorted(keep[i]) for i in range(L + 1)]
+        legs = [LegCharge.from_qflat(chinfo, np.array(b, QTYPE).reshape(
+            len(b), chinfo.qnumber)) for b in bonds]
+        Bs = []
+        for i in range(L):
+            site = sites[i]
+            d = site.leg.ind_len
+            coef = np.zeros(d, dtype)
+            st = p_state_list[i]
+            if isinstance(st, str) or isinstance(st, (int, np.integer)):
+                coef[site.state_index(st) if isinstance(st, str) else int(st)] = 1.
+            else:
+                coef[:] = np.asarray(st, dtype)
+            nL, nR = len(bonds[i]), len(bonds[i + 1])
+            B = np.zeros((nL, d, nR), dtype)
+            for a, qa in enumerate(bonds[i]):
+                for p in range(d):
+                    q2 = tuple(chinfo.make_valid(
+                        np.asarray(qa, QTYPE) + qflat_sites[i][p]))
+                    if q2 in keep[i + 1]:
+                        B[a, p, bonds[i + 1].index(q2)] = coef[p]
+            Bnpc = npc.Array.from_ndarray(
+                B, [legs[i], site.leg, legs[i + 1].conj()],
+                labels=['vL', 'p', 'vR'], raise_wrong_sector=False,
+                warn_wrong_sector=False)
+            Bs.append(Bnpc)
+        SVs = [np.ones(len(b)) / np.sqrt(len(b)) for b in bonds]
+        psi = cls(sites, Bs, SVs, bc=bc, form=None, norm=norm)
+        psi.canonical_form_finite()
+        return psi
+
+    def enlarge_chi(self, extra_legs, random_fct=np.random.normal):
+        """Artificially enlarge bond dimensions by extra charge sectors; in place.
+
+        Per bond, the given extra leg (qconj=+1) is appended to the existing
+        virtual leg: the left neighbor's ``vR`` is zero-padded, and the right
+        neighbor's new ``vL`` rows are filled with random vectors
+        orthonormalized against the existing rows — the state is unchanged
+        (new Schmidt values exactly 0) and stays in right-canonical B form.
+        ``extra_legs``: list (length L+1 finite / L infinite) of LegCharge or
+        None per bond; int entries add one block with the dominant Schmidt
+        state's charge.  Returns per-bond permutations such that
+        ``new_S = concat(old_S, zeros)[perm]``.  Reference: ``mps.py:3216``.
+        """
+        self.convert_form('B')
+        n_bonds = self.L + 1 if self.finite else self.L
+        if len(extra_legs) != n_bonds:
+            raise ValueError("wrong number of extra_legs")
+        perms = [None] * n_bonds
+        for b in range(n_bonds):
+            add = extra_legs[b]
+            if add is None:
+                continue
+            if self.finite and (b == 0 or b == self.L):
+                raise ValueError("cannot enlarge trivial boundary bonds")
+            i = b % self.L            # site right of the bond
+            old_leg = self.get_B(i, 'B').get_leg('vL')
+            if isinstance(add, (int, np.integer)):
+                S_old = np.asarray(self.get_SL(i))
+                qi = old_leg.get_qindex(int(np.argmax(S_old)))[0]
+                q_dom = np.asarray(old_leg.charges[qi], QTYPE)
+                add = LegCharge.from_qflat(
+                    old_leg.chinfo,
+                    np.tile(q_dom, (int(add), 1)), old_leg.qconj)
+            if add.qconj != old_leg.qconj:
+                raise ValueError("extra leg must have the same qconj")
+            n_old, n_add = old_leg.ind_len, add.ind_len
+            qflat_new = np.concatenate([np.asarray(old_leg.to_qflat(), QTYPE),
+                                        np.asarray(add.to_qflat(), QTYPE)])
+            order = np.lexsort(qflat_new.T)
+            big_leg = LegCharge.from_qflat(old_leg.chinfo, qflat_new[order],
+                                           old_leg.qconj)
+            perms[b] = order
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            # left neighbor: zero-pad vR columns, then permute into big_leg
+            iL = (i - 1) % self.L
+            BL = self.get_B(iL, 'B').transpose(['vL', 'p', 'vR'])
+            BL_dense = np.zeros((BL.get_leg('vL').ind_len,
+                                 BL.get_leg('p').ind_len, len(order)),
+                                np.dtype(str(BL.dtype)))
+            BL_dense[:, :, inv[:n_old]] = BL.to_numpy()
+            BL_new = npc.Array.from_ndarray(
+                BL_dense, [BL.get_leg('vL'), BL.get_leg('p'), big_leg.conj()],
+                labels=['vL', 'p', 'vR'], qtotal=BL.qtotal,
+                warn_wrong_sector=False)
+            # right neighbor: new rows = random, orthonormalized against the
+            # old rows within the combined (p, vR) column space
+            BR = self.get_B(i, 'B').transpose(['vL', 'p', 'vR'])
+            dp = BR.get_leg('p').ind_len
+            nR = BR.get_leg('vR').ind_len
+            M_old = BR.to_numpy().reshape(n_old, dp * nR)
+            X = random_fct(size=(n_add, dp * nR)).astype(M_old.dtype)
+            # restrict each new row to its charge-allowed (p, vR) columns
+            chinfo = old_leg.chinfo
+            qp = np.asarray(BR.get_leg('p').to_qflat(), QTYPE) \
+                * BR.get_leg('p').qconj
+            qv = np.asarray(BR.get_leg('vR').to_qflat(), QTYPE) \
+                * BR.get_leg('vR').qconj
+            col_q = (qp[:, None, :] + qv[None, :, :]).reshape(dp * nR,
+                                                              chinfo.qnumber)
+            add_q = np.asarray(add.to_qflat(), QTYPE) * add.qconj
+            qtot = np.asarray(BR.qtotal, QTYPE)
+            for r in range(n_add):
+                need = chinfo.make_valid(qtot - add_q[r])
+                ok = np.all(chinfo.make_valid(col_q) == need[None, :], axis=1)
+                X[r] *= ok
+            X -= (X @ M_old.conj().T) @ M_old
+            # orthonormalize X rows (QR on the transpose)
+            Q, _ = np.linalg.qr(X.T)
+            X = Q.T[:len(X)]
+            M_new = np.zeros((len(order), dp * nR), M_old.dtype)
+            M_new[inv[:n_old]] = M_old
+            M_new[inv[n_old:]] = X
+            BR_new = npc.Array.from_ndarray(
+                M_new.reshape(len(order), dp, nR),
+                [big_leg, BR.get_leg('p'), BR.get_leg('vR')],
+                labels=['vL', 'p', 'vR'], qtotal=BR.qtotal,
+                warn_wrong_sector=False, cutoff=1e-12)
+            self.set_B(iL, BL_new, form='B')
+            self.set_B(i, BR_new, form='B')
+            S_new = np.concatenate([np.asarray(self.get_SL(i)),
+                                    np.zeros(n_add)])[order]
+            self.set_SL(i, S_new)
+        return perms
+
+    def term_correlation_function_right(self, term_L, term_R, i_L=0, j_R=None,
+                                        autoJW=True, opstr=None):
+        """Correlations ``<term_L(i_L) term_R(j)>`` for a list of right
+        positions ``j_R`` (left term fixed).
+
+        ``term_L/R``: lists of ``(op, rel_index)``.  Reference:
+        ``tenpy/networks/mps.py:2718``; evaluated here term-by-term through
+        :meth:`expectation_value_term` (environment recycling is an
+        optimization the packed device path makes unnecessary on host scales).
+        """
+        if opstr is not None and autoJW:
+            raise ValueError("opstr only with autoJW=False")
+        span_L = max(i for _, i in term_L)
+        if j_R is None:
+            if self.finite:
+                j0 = i_L + span_L + 1
+                span_R = max(i for _, i in term_R)
+                j_R = range(j0, self.L - span_R)
+            else:
+                j_R = range(self.L, 11 * self.L, self.L)
+        res = []
+        for j in sorted(j_R):
+            term = [(op, i + i_L) for op, i in term_L] + \
+                [(op, i + j) for op, i in term_R]
+            if opstr is not None:
+                mid = [(opstr, x) for x in range(i_L + span_L + 1, j)]
+                term = term + mid
+            res.append(self.expectation_value_term(term, autoJW=autoJW))
+        return np.array(res)
+
+    def term_correlation_function_left(self, term_L, term_R, i_L=None, j_R=0,
+                                       autoJW=True, opstr=None):
+        """Like :meth:`term_correlation_function_right`, varying the *left*
+        position (right term fixed at ``j_R``).  Reference: ``mps.py:2796``."""
+        if opstr is not None and autoJW:
+            raise ValueError("opstr only with autoJW=False")
+        if i_L is None:
+            i_L = range(0, j_R) if self.finite else \
+                range(-self.L, -11 * self.L, -self.L)
+        res = []
+        for i in sorted(i_L, reverse=True):
+            term = [(op, x + i) for op, x in term_L] + \
+                [(op, x + j_R) for op, x in term_R]
+            res.append(self.expectation_value_term(term, autoJW=autoJW))
+        return np.array(res[::-1])
 
     @classmethod
     def from_Bflat(cls, sites, Bflat, SVs=None, bc='finite', dtype=None, permute=True,

@@ -209,3 +209,74 @@ def test_swap_sites_fermionic_sign():
     psi.swap_sites(1, swap_op='auto')
     assert abs(complex(psi.overlap(psi_1100)) - 1. / np.sqrt(2)) < 1e-10
     assert abs(complex(psi.overlap(psi_0110)) - 1. / np.sqrt(2)) < 1e-10
+
+
+def test_project_onto_charge_sector():
+    """MPS.project_onto_charge_sector (reference mps.py:958)."""
+    from tenpy_tpu.networks.site import SpinHalfSite
+    sites = [SpinHalfSite(conserve='Sz')] * 4
+    s2 = 1. / np.sqrt(2.)
+    psi = MPS.project_onto_charge_sector(sites, [np.array([s2, s2])] * 4, [0])
+    psi.test_sanity()
+    assert np.array_equal(psi.get_total_charge(only_physical_legs=True), [0])
+    # uniform superposition over the 6 Sz=0 configurations: <Sz_i> = 0
+    assert np.allclose(np.real(np.asarray(psi.expectation_value('Sz'))), 0.,
+                       atol=1e-12)
+    # <Sz_0 Sz_1> on the symmetric projected state: exact value
+    # sum over C(4,2)=6 states, Sz0*Sz1 = +1/4 for (uu..),(dd..) patterns:
+    # configurations with same first two spins: uudd, dduu -> +1/4 (x2);
+    # others (4) -> -1/4  => (2 - 4)/4/6 = -1/12
+    c = float(np.real(psi.correlation_function('Sz', 'Sz', [0], [1])[0, 0]))
+    assert abs(c - (-1. / 12.)) < 1e-12
+
+
+def test_term_correlation_function_right_left():
+    """term_correlation_function_right/left vs plain correlation_function."""
+    from tenpy_tpu.models.spins import SpinChain
+    from tenpy_tpu.algorithms import dmrg
+    m = SpinChain({'S': 0.5, 'L': 8, 'Jz': 1., 'Jx': 1., 'Jy': 1.,
+                   'bc_MPS': 'finite', 'conserve': 'Sz'})
+    psi = MPS.from_product_state(m.lat.mps_sites(), ['up', 'down'] * 4,
+                                 bc='finite')
+    dmrg.TwoSiteDMRGEngine(psi, m, {'trunc_params': {'chi_max': 32,
+                                                     'svd_min': 1e-12},
+                                    'max_sweeps': 10}).run()
+    c1 = psi.term_correlation_function_right([('Sz', 0)], [('Sz', 0)],
+                                             i_L=1, j_R=[3, 5])
+    c2 = np.asarray(psi.correlation_function('Sz', 'Sz', sites1=[1],
+                                             sites2=[3, 5])).ravel()
+    assert np.allclose(np.real(c1), np.real(c2), atol=1e-12)
+    c3 = psi.term_correlation_function_left([('Sz', 0)], [('Sz', 0)],
+                                            i_L=[1, 3], j_R=5)
+    c4 = np.asarray(psi.correlation_function('Sz', 'Sz', sites1=[1, 3],
+                                             sites2=[5])).ravel()
+    assert np.allclose(np.real(c3), np.real(c4), atol=1e-12)
+    # two-site terms (S+ S-)(S- S+) with JW-free spins
+    c5 = psi.term_correlation_function_right([('Sp', 0), ('Sm', 1)],
+                                             [('Sm', 0), ('Sp', 1)],
+                                             i_L=0, j_R=[4])
+    direct = psi.expectation_value_term([('Sp', 0), ('Sm', 1),
+                                         ('Sm', 4), ('Sp', 5)])
+    assert abs(c5[0] - direct) < 1e-12
+
+
+def test_enlarge_chi():
+    """MPS.enlarge_chi keeps the state + B form, adds exact-zero S values."""
+    from tenpy_tpu.models.spins import SpinChain
+    from tenpy_tpu.algorithms import dmrg
+    m = SpinChain({'S': 0.5, 'L': 6, 'Jz': 1., 'Jx': 1., 'Jy': 1.,
+                   'bc_MPS': 'finite', 'conserve': 'Sz'})
+    psi = MPS.from_product_state(m.lat.mps_sites(), ['up', 'down'] * 3,
+                                 bc='finite')
+    dmrg.TwoSiteDMRGEngine(psi, m, {'trunc_params': {'chi_max': 8,
+                                                     'svd_min': 1e-10},
+                                    'max_sweeps': 8}).run()
+    Sz0 = np.real(np.asarray(psi.expectation_value('Sz'))).copy()
+    extra = [None] * 7
+    extra[3] = 2
+    psi.enlarge_chi(extra)
+    psi.test_sanity()
+    assert float(np.max(psi.norm_test())) < 1e-12
+    assert np.allclose(np.real(np.asarray(psi.expectation_value('Sz'))), Sz0,
+                       atol=1e-12)
+    assert int(np.sum(np.asarray(psi.get_SL(3)) == 0.)) == 2
