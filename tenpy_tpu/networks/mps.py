@@ -974,10 +974,23 @@ class MPS:
         res = []
         for i in sites:
             op = self.get_op(ops, i)
-            theta = self.get_theta(i, 1)
-            val = npc.tensordot(op, theta, axes=[['p*'], ['p0']])
-            val = npc.tensordot(theta.conj(), val,
-                                axes=[['vL*', 'p0*', 'vR*'], ['vL', 'p', 'vR']])
+            n = op.rank // 2      # n-site operators: legs p0..p(n-1), starred
+            if n == 1:
+                theta = self.get_theta(i, 1)
+                val = npc.tensordot(op, theta, axes=[['p*'], ['p0']])
+                val = npc.tensordot(
+                    theta.conj(), val,
+                    axes=[['vL*', 'p0*', 'vR*'], ['vL', 'p', 'vR']])
+            else:
+                if 'p' in op.get_leg_labels():
+                    op = op.replace_label('p', 'p0').replace_label('p*', 'p0*')
+                theta = self.get_theta(i, n)
+                p = [f'p{k}' for k in range(n)]
+                ps = [f'{l}*' for l in p]
+                val = npc.tensordot(op, theta, axes=[ps, p])
+                val = npc.tensordot(theta.conj(), val,
+                                    axes=[['vL*', 'vR*'] + ps,
+                                          ['vL', 'vR'] + p])
             res.append(complex(val))
         res = np.array(res)
         if np.allclose(res.imag, 0., atol=1e-14):
