@@ -173,6 +173,24 @@ class DMRGEngine(IterativeSweeps):
         return abs(Delta_E) < max_E_err * max(abs(E), 1.) and \
             abs(Delta_S) < max_S_err
 
+    def run(self):
+        E, psi = super().run()
+        if not self.finite:
+            # the sweep-statistics energy estimator (finite differences of
+            # aged full contractions) carries O(1e-6)-level noise across
+            # environment restarts (mixer deactivation); the transfer-matrix
+            # fixed point of the *final state* is the authoritative energy
+            # density
+            from ..networks.mpo import MPOTransferMatrix
+            try:
+                _, Es, _ = MPOTransferMatrix.find_init_LP_RP(
+                    self.env.H, self.psi, calc_E=True)
+                E = float(np.mean(np.real(Es)))
+            except Exception as e:
+                logger.warning("final TM energy evaluation failed (%s); "
+                               "keeping the sweep-statistics estimate", e)
+        return E, psi
+
     def post_run_cleanup(self):
         """Canonicalize if the norm error got too large. Reference: ``dmrg.py:402``."""
         super().post_run_cleanup()

@@ -114,3 +114,34 @@ def test_real_to_mixed_measurements(spinless_gs):
     g_mixed, _ = psi.expectation_value_terms_sum(tlc)
     g_rs = psi_rs.correlation_function('Cd', 'C', [i0], [i1])[0, 0]
     assert abs(g_mixed - g_rs) < 1e-8
+
+
+@pytest.mark.slow
+def test_xk_infinite_idmrg_vs_real_space():
+    """ky-conserving iDMRG == real-space iDMRG (the round-1 blocker).
+
+    The failure mode was the post-mixer environment restart from trivial
+    boundaries: a sharp edge next to the converged state drains ky sectors
+    irreversibly (two-site updates cannot repopulate them), collapsing the
+    state to a product state.  Environments are now regrown through several
+    unit cells at the restart."""
+    from tenpy_tpu.models.fermions_spinless import FermionModel
+    from tenpy_tpu.models.mixed_xk import SpinlessMixedXKSquare
+
+    common = {'Lx': 1, 'Ly': 2, 'bc_MPS': 'infinite', 'J': 1., 'V': 1.,
+              'mu': 0.}
+    dmrg_params = {'trunc_params': {'chi_max': 64, 'svd_min': 1e-12},
+                   'max_sweeps': 40, 'mixer': True, 'N_sweeps_check': 4,
+                   'max_E_err': 1e-12}
+    m_rs = FermionModel(dict(common, lattice='Square', bc_y='cylinder',
+                             conserve='N'))
+    L = m_rs.lat.N_sites
+    psi_rs = MPS.from_product_state(m_rs.lat.mps_sites(),
+                                    (['full', 'empty'] * L)[:L], bc='infinite')
+    E_rs, _ = dmrg.TwoSiteDMRGEngine(psi_rs, m_rs, dict(dmrg_params)).run()
+
+    m_xk = SpinlessMixedXKSquare(dict(common))
+    psi_xk = MPS.from_product_state(m_xk.lat.mps_sites(),
+                                    (['full', 'empty'] * L)[:L], bc='infinite')
+    E_xk, _ = dmrg.TwoSiteDMRGEngine(psi_xk, m_xk, dict(dmrg_params)).run()
+    assert abs(E_xk - E_rs) < 1e-8 * max(1., abs(E_rs)), (E_xk, E_rs)
