@@ -1141,21 +1141,27 @@ class Sweep(Algorithm):
         if had_matrix and self.env is not None:
             # the absorption rotated bond bases: cached environments are stale
             self.env.clear()
+            env_data = {}
             if not self.psi.finite:
-                # grow the restart environments through several unit cells of
-                # the converged state: restarting an infinite system from
-                # *trivial* boundaries puts a sharp edge right next to the
-                # wavefunction, and momentum-space (ky-conserving, mixed_xk)
-                # states cannot recover from it — a two-site update can never
-                # repopulate a drained ky sector, so the state irreversibly
-                # collapses towards a product state.  With the edge several
-                # correlation lengths away the restart is harmless, and the
-                # environment ages stay consistent with the iDMRG estimator.
-                xi = 8 * self.psi.L
-                self.env.init_first_LP_last_RP(start_env_sites=xi,
-                                               age_LP=xi, age_RP=xi)
-            else:
-                self.env.init_first_LP_last_RP()
+                # re-seed from the converged transfer-matrix fixed point:
+                # restarting an infinite system from *trivial* boundaries puts
+                # a sharp edge right next to the wavefunction, and
+                # momentum-space (ky-conserving, mixed_xk) states cannot
+                # recover from it — a two-site update can never repopulate a
+                # drained ky sector, so the state irreversibly collapses
+                # towards a product state.  (Regrowing by explicit
+                # contraction is NOT safe instead: it needs A-form
+                # conversions, whose 1/S blows up on noise-floor Schmidt
+                # values.)  The fixed point is inversion-free.
+                from ..networks.mpo import MPOTransferMatrix
+                try:
+                    env_data = MPOTransferMatrix.find_init_LP_RP(
+                        self.env.H, self.psi)
+                except Exception as e:
+                    logger.warning("TM env re-seed after mixer deactivation "
+                                   "failed (%s); using trivial boundaries", e)
+                    env_data = {}
+            self.env.init_first_LP_last_RP(**env_data)
             for env in self.ortho_to_envs:
                 env.clear()
                 env.init_first_LP_last_RP()

@@ -1292,11 +1292,24 @@ class MPS:
     def canonical_form_finite(self, renormalize=True, cutoff=0., envs_to_update=None):
         """QR sweep left->right, then SVD sweep right->left.
 
-        Reference: ``mps.py:4501``."""
+        For ``bc='segment'`` the boundary Schmidt bases rotate: the rotations
+        ``(U_L, V_R)`` are composed into :attr:`segment_boundaries` (they map
+        the *original* embedding's Schmidt states to the new ones) and — via
+        ``envs_to_update`` — applied to environments, so the embedding into
+        the infinite surroundings is preserved.  Reference: ``mps.py:4501``.
+        """
         L = self.L
         assert self.bc in ('finite', 'segment')
+        seg = self.bc == 'segment'
+        if seg:
+            S0 = np.asarray(self.get_SL(0))
+            self.set_SL(0, S0 / np.linalg.norm(S0))
+            SL_ = np.asarray(self.get_SR(L - 1))
+            self.set_SR(L - 1, SL_ / np.linalg.norm(SL_))
         Ms = self._stripped_tensors()
-        # finite bc: the state is the plain product of B-form tensors (S_0 = S_L = 1).
+        if seg:
+            # the segment wavefunction carries the boundary Schmidt weights
+            Ms[0] = Ms[0].scale_axis(np.asarray(self.get_SL(0)), 'vL')
         # left -> right with QR: make everything left-isometric
         R = None
         for i in range(L):
@@ -1311,13 +1324,27 @@ class MPS:
         else:
             self.norm = self.norm * norm_fact
         R = R / norm_fact
-        # right -> left with SVD: build Schmidt values, convert to 'B'
         M = npc.tensordot(Ms[L - 1], R, axes=[['vR'], ['vL']])
-        nR = M.get_leg('vR').ind_len
-        self.set_SR(L - 1, np.ones(nR) / (np.sqrt(nR) if self.bc == 'segment' else 1.))
+        V_R = None
+        if seg:
+            # new Schmidt values + right-boundary basis rotation
+            M_c = M.combine_legs([['vL', 'p']])
+            U, S, V_R = npc.svd(M_c, cutoff=cutoff if cutoff else None,
+                                qtotal_LR=[M.qtotal, None],
+                                inner_labels=['vR', 'vL'])
+            S = np.asarray(S)
+            S = S / np.linalg.norm(S)
+            self.set_SR(L - 1, S)
+            M = U.iscale_axis(S, 'vR').split_legs([0])
+        else:
+            nR = M.get_leg('vR').ind_len
+            self.set_SR(L - 1, np.ones(nR))
+        # right -> left with SVD: build Schmidt values, convert to 'B'
+        U = None
         for i in range(L - 1, 0, -1):
             M_c = M.combine_legs([['p', 'vR']], qconj=[-1])
             U, S, VH = npc.svd(M_c, cutoff=cutoff if cutoff else None,
+                               qtotal_LR=[None, M.qtotal] if seg else [None, None],
                                inner_labels=['vR', 'vL'])
             S = np.asarray(S)
             S = S / np.linalg.norm(S)
@@ -1326,6 +1353,28 @@ class MPS:
             self.set_SL(i, S)
             M = npc.tensordot(Ms[i - 1], U.iscale_axis(np.asarray(S), 'vR'),
                               axes=[['vR'], ['vL']])
+        if seg:
+            # split off the left-boundary rotation U_L:  M = U_L . S_0 . B_0
+            M_c = M.combine_legs([['p', 'vR']], qconj=[-1])
+            U_L, S0n, VH = npc.svd(M_c, cutoff=cutoff if cutoff else None,
+                                   qtotal_LR=[None, M.qtotal],
+                                   inner_labels=['vR', 'vL'])
+            S0n = np.asarray(S0n)
+            S0n = S0n / np.linalg.norm(S0n)
+            self.set_SL(0, S0n)
+            self._B[0] = VH.split_legs([1])
+            self.form[0] = self._valid_forms['B']
+            if envs_to_update is not None:
+                for env in envs_to_update:
+                    env._update_gauge_boundaries(self, U_L, V_R)
+            old_UL, old_VR = self.segment_boundaries
+            if old_UL is not None:
+                self.segment_boundaries = (
+                    npc.tensordot(old_UL, U_L, axes=[['vR'], ['vL']]),
+                    npc.tensordot(V_R, old_VR, axes=[['vR'], ['vL']]))
+            else:
+                self.segment_boundaries = (U_L, V_R)
+            return U_L, V_R
         # M is site 0 in 'Th'-like form (S_0 = 1 for finite bc)
         SL0 = self.get_SL(0)
         self._B[0] = M.copy(deep=False).iscale_axis(self._scale_S(SL0, -1.), 'vL')
@@ -2054,6 +2103,31 @@ class BaseEnvironment:
             init_RP = self.init_RP(self.L - 1, start_env_sites or 0)
         self.set_LP(0, init_LP, age=age_LP)
         self.set_RP(self.L - 1, init_RP, age=age_RP)
+
+    def _update_gauge_boundaries(self, psi, U_L, V_R):
+        """Rotate the stored boundary environments after a segment-bc
+        ``psi.canonical_form_finite`` changed the boundary Schmidt bases by
+        ``(U_L, V_R)`` — preserves the embedding into the infinite
+        surroundings.  Reference: ``mpo.py`` ``_update_gauge_LP/RP``."""
+        LP = self.get_LP(0, store=False)
+        RP = self.get_RP(self.L - 1, store=False)
+        ageL = self.get_LP_age(0)
+        ageR = self.get_RP_age(self.L - 1)
+        self.clear()
+        if self.ket is psi:
+            LP = npc.tensordot(LP, U_L, axes=[['vR'], ['vL']])
+            RP = npc.tensordot(V_R, RP, axes=[['vR'], ['vL']])
+        if self.bra is psi:
+            LP = npc.tensordot(LP, U_L.conj(), axes=[['vR*'], ['vL*']])
+            RP = npc.tensordot(V_R.conj(), RP, axes=[['vR*'], ['vL*']])
+        LP.itranspose([l for l in (['vR*', 'wR', 'vR']
+                                   if 'wR' in LP.get_leg_labels()
+                                   else ['vR*', 'vR'])])
+        RP.itranspose([l for l in (['wL', 'vL', 'vL*']
+                                   if 'wL' in RP.get_leg_labels()
+                                   else ['vL', 'vL*'])])
+        self.set_LP(0, LP, age=ageL)
+        self.set_RP(self.L - 1, RP, age=ageR)
 
     def init_LP(self, i, start_env_sites=0):
         leg = self.ket.get_B(i - start_env_sites, None).get_leg('vL')
