@@ -120,3 +120,30 @@ def test_segment_excitation_charged_sector():
     assert 0.40 < gap < 0.55  # Haldane gap + finite-window confinement
     dq = psi_exc.get_total_charge() - gs_seg.get_total_charge()
     assert dq[0] == 2  # Sz charge counts 2*Sz
+
+
+def test_segment_canonical_form_boundaries(tfi_infinite_gs):
+    """Segment canonical_form keeps the embedding: boundary rotations are
+    tracked in segment_boundaries and applied to the environments."""
+    from tenpy_tpu.networks.mpo import MPOEnvironment, MPOTransferMatrix
+
+    m, psi = tfi_infinite_gs
+    m_seg = m.extract_segment(enlarge=3)
+    first, last = m_seg.lat.segment_first_last
+    psi_seg = psi.extract_segment(first, last)
+    env_data, Es, _ = MPOTransferMatrix.find_init_LP_RP(m.H_MPO, psi,
+                                                        calc_E=True)
+    env = MPOEnvironment(psi_seg, m_seg.H_MPO, psi_seg, **env_data)
+    E_before = float(np.real(env.full_contraction(1)))
+
+    # slightly perturb a bulk tensor (non-canonical now), then re-canonicalize
+    B = psi_seg.get_B(2, 'B')
+    B = B + B * 1e-8
+    psi_seg.set_B(2, B, form='B')
+    U_L, V_R = psi_seg.canonical_form_finite(envs_to_update=[env])
+    assert U_L is not None and V_R is not None
+    assert psi_seg.segment_boundaries[0] is U_L
+    assert float(np.max(psi_seg.norm_test())) < 1e-10
+    # the environment was gauge-rotated: the energy must be unchanged
+    E_after = float(np.real(env.full_contraction(1)))
+    assert abs(E_after - E_before) < 1e-6 * max(1., abs(E_before))
