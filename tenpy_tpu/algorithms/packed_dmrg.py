@@ -101,6 +101,10 @@ class DeviceSweepEngine:
         self.multiple = int(opts.get('multiple', BUCKET_MULTIPLE))
         self.e_tol = float(opts.get('e_tol', 0.))
         self.cap_factor = float(opts.get('cap_factor', 1.3))
+        # hard budget on a bond's total padded capacity, as a multiple of
+        # chi_max: without it, widened U(1)^2 layouts explode (many sectors
+        # x min-bucket padding -> multi-GB plans)
+        self.total_cap_factor = float(opts.get('total_cap_factor', 1.5))
         self.lanczos_P_tol = float(opts.get('lanczos_P_tol', 1e-14))
         self.reortho = bool(opts.get('reortho', False))
         self.log_updates = bool(opts.get('log_updates',
@@ -159,10 +163,19 @@ class DeviceSweepEngine:
                           psi.get_B(iL, None).get_leg('p'),
                           psi.get_B(iR, None).get_leg('p'),
                           self._bond(i + 1).conj())
+            floor = {}
+            for s_ in range(psi_leg[i].block_number):
+                q = tuple(np.asarray(psi_leg[i].charges[s_], QTYPE))
+                floor[q] = int(psi_leg[i].slices[s_ + 1]
+                               - psi_leg[i].slices[s_])
             qtotal_th = chinfo.make_valid(qtot[iL] + qtot[iR])
             self.bond[i] = ps.bond_layout(theta_legs, qtotal_th, qtot[iL],
-                                          cap_hint=hint, chi_cap=self.chi_max,
-                                          multiple=self.multiple)
+                                          cap_hint=hint, cap_floor=floor,
+                                          chi_cap=self.chi_max,
+                                          multiple=self.multiple,
+                                          total_cap=int(np.ceil(
+                                              self.total_cap_factor
+                                              * self.chi_max)))
 
         self.Bp = []
         self.Wp = []

@@ -86,6 +86,34 @@ class ChargeInfo:
     def trivial(cls):
         return cls(())
 
+    @classmethod
+    def drop(cls, chinfo, charge=None):
+        """ChargeInfo with one charge (or all, if ``charge is None``) removed.
+
+        Reference: ``tenpy/linalg/charges.py:189``."""
+        if charge is None:
+            return cls()
+        if isinstance(charge, str):
+            charge = chinfo.names.index(charge)
+        mod = list(chinfo.mod)
+        names = list(chinfo.names)
+        mod.pop(charge)
+        names.pop(charge)
+        return cls(mod, names)
+
+    @classmethod
+    def change(cls, chinfo, charge, new_qmod, new_name=''):
+        """ChargeInfo with the qmod (and name) of one charge changed.
+
+        Reference: ``tenpy/linalg/charges.py:215``."""
+        if isinstance(charge, str):
+            charge = chinfo.names.index(charge)
+        mod = list(chinfo.mod)
+        names = list(chinfo.names)
+        mod[charge] = int(new_qmod)
+        names[charge] = new_name
+        return cls(mod, names)
+
     @property
     def qnumber(self):
         return len(self.mod)
@@ -330,6 +358,67 @@ class LegCharge:
     @classmethod
     def from_qind(cls, chinfo, slices, charges, qconj=1):
         return cls(chinfo, slices, charges, qconj)
+
+    @classmethod
+    def from_add_charge(cls, legs, chargeinfo=None):
+        """Combine the (independent) charges of several same-length legs.
+
+        Sector boundaries are the union of the legs' boundaries; the result is
+        neither sorted nor bunched.  Reference: ``charges.py:843``."""
+        legs = list(legs)
+        chinfo = ChargeInfo.add([l.chinfo for l in legs])
+        if chargeinfo is not None:
+            if chinfo != chargeinfo:
+                raise ValueError("incompatible chargeinfo")
+            chinfo = chargeinfo
+        ind_len = legs[0].ind_len
+        qconj = legs[0].qconj
+        if any(l.ind_len != ind_len for l in legs):
+            raise ValueError("different leg lengths")
+        if any(l.qconj != qconj for l in legs):
+            raise ValueError("different qconj")
+        # union of all slice boundaries
+        bounds = np.unique(np.concatenate([np.asarray(l.slices) for l in legs]))
+        qflat_rows = []
+        for b in bounds[:-1]:
+            row = []
+            for l in legs:
+                s = int(np.searchsorted(np.asarray(l.slices), b, 'right')) - 1
+                row.extend(np.asarray(l.charges[s], QTYPE))
+            qflat_rows.append(row)
+        charges = np.array(qflat_rows, QTYPE).reshape(len(qflat_rows),
+                                                      chinfo.qnumber)
+        return cls(chinfo, bounds.astype(np.intp), charges, qconj)
+
+    @classmethod
+    def from_drop_charge(cls, leg, charge=None, chargeinfo=None):
+        """LegCharge with one charge (or all) removed. Reference: ``charges.py:908``."""
+        if charge is None:
+            return cls.from_trivial(leg.ind_len, chargeinfo, leg.qconj)
+        chinfo = ChargeInfo.drop(leg.chinfo, charge)
+        if chargeinfo is not None:
+            if chinfo != chargeinfo:
+                raise ValueError("incompatible chargeinfo")
+            chinfo = chargeinfo
+        if isinstance(charge, str):
+            charge = leg.chinfo.names.index(charge)
+        return cls(chinfo, leg.slices,
+                   np.delete(np.asarray(leg.charges, QTYPE), charge, axis=1),
+                   leg.qconj)
+
+    @classmethod
+    def from_change_charge(cls, leg, charge, new_qmod, new_name='',
+                           chargeinfo=None):
+        """LegCharge with the qmod of one charge changed (charges re-wrapped).
+
+        Reference: ``charges.py:941``."""
+        chinfo = ChargeInfo.change(leg.chinfo, charge, new_qmod, new_name)
+        if chargeinfo is not None:
+            if chinfo != chargeinfo:
+                raise ValueError("incompatible chargeinfo")
+            chinfo = chargeinfo
+        charges = chinfo.make_valid(np.asarray(leg.charges, QTYPE))
+        return cls(chinfo, leg.slices, charges, leg.qconj)
 
     @classmethod
     def from_qdict(cls, chinfo, qdict, qconj=1):

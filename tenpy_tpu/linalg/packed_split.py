@@ -69,7 +69,7 @@ def _group_pairs(legs, qconjs, qtotal_part, chinfo):
 
 
 def bond_layout(theta_legs, qtotal_theta, qtotal_A, cap_hint=None,
-                chi_cap=None, multiple=64):
+                chi_cap=None, multiple=64, total_cap=None, cap_floor=None):
     """Fixed-capacity bond leg for the device split of a two-site theta.
 
     Parameters
@@ -103,7 +103,8 @@ def bond_layout(theta_legs, qtotal_theta, qtotal_A, cap_hint=None,
     cols = {tuple(chinfo.make_valid(qtotal_B - np.asarray(k, QTYPE))): v
             for k, v in cols.items()}
     charges = []
-    sizes = []
+    hints = []
+    limits = []
     for q in sorted(set(rows) & set(cols)):
         R = sum(int(theta_legs[0].slices[a + 1] - theta_legs[0].slices[a])
                 * int(theta_legs[1].slices[b + 1] - theta_legs[1].slices[b])
@@ -111,13 +112,33 @@ def bond_layout(theta_legs, qtotal_theta, qtotal_A, cap_hint=None,
         C = sum(int(theta_legs[2].slices[c + 1] - theta_legs[2].slices[c])
                 * int(theta_legs[3].slices[d + 1] - theta_legs[3].slices[d])
                 for c, d in cols[q])
-        hint = (cap_hint or {}).get(q, 1)
-        cap = bucket_size(max(int(hint), 1), multiple)
-        cap = min(cap, bucket_size(min(R, C), multiple))
+        lim = min(R, C)
         if chi_cap is not None:
-            cap = min(cap, bucket_size(int(chi_cap), multiple))
+            lim = min(lim, int(chi_cap))
         charges.append(q)
-        sizes.append(cap)
+        hints.append(max(int((cap_hint or {}).get(q, 1)), 1))
+        limits.append(lim)
+    floors = [min(int((cap_floor or {}).get(q, 1)), lim)
+              for q, lim in zip(charges, limits)]
+
+    def alloc(scale):
+        return [min(bucket_size(max(int(np.ceil(h * scale)), f, 1), multiple),
+                    bucket_size(lim, multiple))
+                for h, f, lim in zip(hints, floors, limits)]
+
+    sizes = alloc(1.)
+    if total_cap is not None and sum(sizes) > total_cap:
+        # shrink proportionally onto the budget (bucket rounding + the
+        # min-bucket floor for barely-hinted sectors make this approximate;
+        # a couple of bisection steps get close enough)
+        lo, hi = 0., 1.
+        for _ in range(12):
+            mid = 0.5 * (lo + hi)
+            if sum(alloc(mid)) > total_cap:
+                hi = mid
+            else:
+                lo = mid
+        sizes = alloc(lo) if sum(alloc(lo)) <= 1.3 * total_cap else alloc(0.)
     slices = np.concatenate([[0], np.cumsum(sizes)]).astype(np.intp)
     charges = np.array(charges, QTYPE).reshape(len(charges), chinfo.qnumber)
     return LegCharge(chinfo, slices, charges, 1)
