@@ -128,6 +128,19 @@ class DeviceSweepEngine:
     def _setup(self):
         psi, L = self.psi, self.L
         psi.real_if_close()   # complex128 is unsupported on TPU backends
+        if jnp.issubdtype(psi.dtype, jnp.complexfloating) and \
+                not jnp.issubdtype(self.model.H_MPO.dtype,
+                                   jnp.complexfloating):
+            # real H, real physics: residual imaginary parts are gauge junk
+            # from canonicalization eigensolvers; drop them at the truncation
+            # noise scale rather than refusing the device path
+            psi.real_if_close(tol=1e-6)
+            if jnp.issubdtype(psi.dtype, jnp.complexfloating):
+                raise NotImplementedError(
+                    "state has a genuine imaginary part; complex data needs "
+                    "the (future) split re/im device storage")
+            logger.warning("dropped O(<=1e-6) imaginary gauge junk to keep "
+                           "the state on the real device path")
         cap_factor = self.cap_factor
         # fixed padded capacity layouts: bond[i] = vL leg of site i (qconj +1)
         self.bond = []

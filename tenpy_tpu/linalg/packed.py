@@ -440,6 +440,16 @@ def unpack(p, orig_legs=None, purge=True):
 
 # ----------------------------------------------------------------- tensordot
 _PACKED_PLAN_CACHE = {}
+_PACKED_MESH = None
+
+
+def set_packed_mesh(mesh):
+    """Shard packed tensordots' GEMM-bucket batches over ``mesh`` (or None).
+
+    Takes effect at trace time: set before the first (tracing) call of a
+    jitted function; the compiled executable keeps the sharded program."""
+    global _PACKED_MESH
+    _PACKED_MESH = mesh
 
 
 class _PackedPlan:
@@ -552,8 +562,19 @@ def tensordot(a, b, axes):
             am = am[jnp.asarray(a_pos)]
         if B != bm.shape[0] or not np.array_equal(b_pos, np.arange(B)):
             bm = bm[jnp.asarray(b_pos)]
-        c = jnp.matmul(am.reshape(B, m, kk).astype(dtype),
-                       bm.reshape(B, kk, n).astype(dtype))
+        am = am.reshape(B, m, kk).astype(dtype)
+        bm = bm.reshape(B, kk, n).astype(dtype)
+        if _PACKED_MESH is not None:
+            # multi-chip: shard every GEMM bucket's batch dimension over the
+            # mesh (GSPMD inserts the collectives); SURVEY §5.8 design
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = _PACKED_MESH.axis_names[0]
+            spec = NamedSharding(_PACKED_MESH,
+                                 PartitionSpec(axis if B % _PACKED_MESH.size
+                                               == 0 else None, None, None))
+            am = jax.lax.with_sharding_constraint(am, spec)
+            bm = jax.lax.with_sharding_constraint(bm, spec)
+        c = jnp.matmul(am, bm)
         if len(o_uniq) < B:
             c = jax.ops.segment_sum(c, jnp.asarray(o_inv),
                                     num_segments=len(o_uniq))

@@ -1238,7 +1238,11 @@ class MPS:
         ~1e-16 imaginary junk.  Besides wasting memory, complex128 is
         unsupported on TPU, so keeping real states real is load-bearing for
         the device path."""
-        if not jnp.issubdtype(self.dtype, jnp.complexfloating):
+        if not jnp.issubdtype(self.dtype, jnp.complexfloating) and \
+                not any(jnp.issubdtype(B.dtype, jnp.complexfloating)
+                        for B in self._B):
+            # NB: self.dtype alone is not authoritative — individual tensors
+            # can be complex after in-place manipulations
             return self
         mx = max((float(np.max(np.abs(np.imag(np.asarray(b)))))
                   for B in self._B for b in B._data), default=0.)
