@@ -180,12 +180,27 @@ class DMRGEngine(IterativeSweeps):
             # aged full contractions) carries O(1e-6)-level noise across
             # environment restarts (mixer deactivation); the transfer-matrix
             # fixed point of the *final state* is the authoritative energy
-            # density
+            # density.  Evaluate it on a copy with noise-floor Schmidt
+            # directions compressed away (they carry junk that derails the
+            # fixed-point solvers), and sanity-guard against the sweep
+            # estimate.
             from ..networks.mpo import MPOTransferMatrix
             try:
+                psi_eval = self.psi.copy()
+                if min((float(np.min(np.asarray(s))) for s in psi_eval._S
+                        if not isinstance(s, npc.Array)), default=1.) < 1e-8:
+                    psi_eval.compress_svd({'chi_max': max(psi_eval.chi),
+                                           'svd_min': 3e-8,
+                                           'trunc_cut': None})
                 _, Es, _ = MPOTransferMatrix.find_init_LP_RP(
-                    self.env.H, self.psi, calc_E=True)
-                E = float(np.mean(np.real(Es)))
+                    self.env.H, psi_eval, calc_E=True)
+                E_tm = float(np.mean(np.real(Es)))
+                if abs(E_tm - E) <= 1e-3 * max(1., abs(E)):
+                    E = E_tm
+                else:
+                    logger.warning("final TM energy %.10f disagrees with the "
+                                   "sweep estimate %.10f; keeping the latter",
+                                   E_tm, E)
             except Exception as e:
                 logger.warning("final TM energy evaluation failed (%s); "
                                "keeping the sweep-statistics estimate", e)

@@ -1142,17 +1142,20 @@ class Sweep(Algorithm):
             # the absorption rotated bond bases: cached environments are stale
             self.env.clear()
             env_data = {}
-            if not self.psi.finite:
-                # re-seed from the converged transfer-matrix fixed point:
-                # restarting an infinite system from *trivial* boundaries puts
-                # a sharp edge right next to the wavefunction, and
-                # momentum-space (ky-conserving, mixed_xk) states cannot
-                # recover from it — a two-site update can never repopulate a
-                # drained ky sector, so the state irreversibly collapses
-                # towards a product state.  (Regrowing by explicit
-                # contraction is NOT safe instead: it needs A-form
-                # conversions, whose 1/S blows up on noise-floor Schmidt
-                # values.)  The fixed point is inversion-free.
+            reseed = self.options.get('mixer_env_reseed',
+                                      'trivial' if self.psi.finite else
+                                      'trivial', str) \
+                if hasattr(self, 'options') else 'trivial'
+            if not self.psi.finite and reseed == 'tm':
+                # re-seed from the converged transfer-matrix fixed point.
+                # Restarting from *trivial* boundaries puts a sharp edge next
+                # to the wavefunction; momentum-space (ky-conserving,
+                # mixed_xk) states cannot recover from it — a two-site update
+                # can never repopulate a drained ky sector, so the state
+                # collapses towards a product state.  (Not the default: on
+                # real-space states with noise-floor Schmidt directions the
+                # fixed-point solvers can converge to a wrong near-degenerate
+                # mode, while the trivial restart is harmless there.)
                 from ..networks.mpo import MPOTransferMatrix
                 try:
                     env_data = MPOTransferMatrix.find_init_LP_RP(

@@ -132,7 +132,10 @@ def test_xk_infinite_idmrg_vs_real_space():
               'mu': 0.}
     dmrg_params = {'trunc_params': {'chi_max': 64, 'svd_min': 1e-12},
                    'max_sweeps': 40, 'mixer': True, 'N_sweeps_check': 4,
-                   'max_E_err': 1e-12}
+                   'max_E_err': 1e-12,
+                   # momentum-space states need the transfer-matrix env
+                   # re-seed after mixer deactivation (see mixer_deactivate)
+                   'mixer_env_reseed': 'tm'}
     m_rs = FermionModel(dict(common, lattice='Square', bc_y='cylinder',
                              conserve='N'))
     L = m_rs.lat.N_sites

@@ -40,7 +40,7 @@ def test_aklt_exact_energy():
     assert abs(E - (-2. / 3.)) < 1e-10
     # the AKLT state: exactly 2 non-noise Schmidt values per bond
     S = np.asarray(psi.get_SL(0))
-    assert int(np.sum(S > 1e-8)) == 2
+    assert int(np.sum(S > 1e-6)) == 2
 
 
 def test_toric_code_ground_state():
