@@ -129,8 +129,9 @@ def cmd_ours(chi, ramp_on_device=False):
     # ramp) and the production sweeps reuse the same compiled programs.
     grow = max(1.3, 1.3 * chi / max(cur, 1))
     n_ramp = 3 if cur < chi else 0
+    K = int(os.environ.get('NORTHSTAR_K', '10'))
     eng = DeviceSweepEngine(psi, m, {
-        'chi_max': chi, 'svd_min': 1e-10, 'lanczos_K': 10,
+        'chi_max': chi, 'svd_min': 1e-10, 'lanczos_K': K,
         'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH, 'cap_factor': grow})
     eng.run()
     with open(state_path(chi), 'wb') as f:
