@@ -1,21 +1,24 @@
-"""Benchmark: the DMRG hot loop on the north-star workload (BASELINE.json).
+"""Benchmark: device-resident iDMRG sweep time on the north-star workload.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-The problem: the two-site effective-Hamiltonian matvec of Fermi-Hubbard (U=8)
-on an infinite Ly=4 square cylinder — U(1)xU(1) charge structure (N + Sz),
-chi=256 — i.e. exactly the block-heavy regime the BASELINE.json north star
-names.  Our matvec runs as ONE jitted XLA program over the bucket-packed
-block layout (gather -> batched matmul -> segment-sum -> scatter-add per
-bucket pair; `tenpy_tpu/linalg/packed.py`).
+The problem (BASELINE.json north star): two-site iDMRG on Fermi-Hubbard
+(U=8) on an infinite Ly=4 square cylinder — U(1)xU(1) charge structure
+(N + Sz) — measured as seconds per full sweep of
+:class:`tenpy_tpu.algorithms.packed_dmrg.DeviceSweepEngine`, the production
+device-resident sweep engine (whole site update = one jitted XLA program,
+sweep state lives in HBM).
 
-Baseline (vs_baseline denominator): the reference tenpy 1.1.0 two-site
-``combine=True`` matvec on the same model/state/bond, measured on this
-machine's CPU (single core, OpenBLAS — this image has no MKL and no Cython,
-see PERF.md): 21.87 ms/matvec at chi=256 (2026-08-17).
+Baseline (vs_baseline denominator): the reference tenpy 1.1.0
+TwoSiteDMRGEngine (combine=True) on the same model/state/protocol, measured
+on this machine's CPU (single core, OpenBLAS — this image has no MKL and no
+Cython, see PERF.md): 23.54 s/sweep at chi=256 (2026-08-17, via
+``bench_northstar.py ref 256``).  vs_baseline > 1 means the TPU engine beats
+the measured reference sweep.
 
 The benchmark state is shipped in ``tests/benchmark_data/`` (host-ramped
-iDMRG state); full-sweep north-star numbers live in PERF.md.
+iDMRG state); the full north-star ladder lives in BENCH_NORTHSTAR.json /
+PERF.md.
 """
 
 import gzip
@@ -27,10 +30,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_MATVEC_MS = 21.87       # measured, see module docstring
+REF_SWEEP_S = 23.54         # measured, see module docstring
 CHI = int(os.environ.get('BENCH_CHI', '256'))
+N_SWEEPS = int(os.environ.get('BENCH_SWEEPS', '3'))
 STATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      'tests', 'benchmark_data', f'hubbard_cyl_chi{CHI}.pkl.gz')
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
 
 
 def main():
@@ -39,9 +47,7 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
     from tenpy_tpu.linalg import packed as pk
-    from tenpy_tpu.algorithms.mps_common import (_matvec_2site_packed,
-                                                 BUCKET_MULTIPLE)
-    from tenpy_tpu.networks.mpo import MPOEnvironment
+    from tenpy_tpu.algorithms.packed_dmrg import DeviceSweepEngine
     from tenpy_tpu.models.hubbard import FermiHubbardModel
 
     pk.start_transfer_keepalive()
@@ -51,40 +57,41 @@ def main():
     with gzip.open(STATE, 'rb') as f:
         psi = pickle.load(f)
     psi.real_if_close()
-    env = MPOEnvironment(psi, m.H_MPO, psi)
-    i0 = 4
-    LP = env.get_LP(i0)
-    RP = env.get_RP(i0 + 1)
-    W0 = m.H_MPO.get_W(i0).transpose(['wL', 'wR', 'p', 'p*'])
-    W1 = m.H_MPO.get_W(i0 + 1).transpose(['wL', 'wR', 'p', 'p*'])
-    theta = psi.get_theta(i0, 2).itranspose(['vL', 'p0', 'p1', 'vR'])
+    log(f"bench: backend={jax.default_backend()} chi={CHI} "
+        f"state max_chi={max(psi.chi)}")
 
-    VIRT = ('vL', 'vR', 'vL*', 'vR*')
-    LPp = pk.pack(LP.transpose(['vR*', 'wR', 'vR']), multiple=BUCKET_MULTIPLE,
-                  pad_labels=VIRT)
-    RPp = pk.pack(RP.transpose(['wL', 'vL', 'vL*']), multiple=BUCKET_MULTIPLE,
-                  pad_labels=VIRT)
-    W0p = pk.pack(W0, pad=False).replace_labels(['p', 'p*'], ['p0', 'p0*'])
-    W1p = pk.pack(W1, pad=False).replace_labels(['p', 'p*'], ['p1', 'p1*'])
-    theta_p = pk.pack(theta, multiple=BUCKET_MULTIPLE, pad_labels=VIRT)
-
-    fn = jax.jit(_matvec_2site_packed)
-    out = jax.block_until_ready(fn(LPp, RPp, W0p, W1p, theta_p).data)
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < 5.0 and n < 500:
-        out = fn(LPp, RPp, W0p, W1p, theta_p)
-        n += 1
-    jax.block_until_ready(out.data)
-    t = (time.time() - t0) / n
+    # 1 warm-up sweep (pays jit compiles; the compile server caches across
+    # processes so reruns are cheap) + N_SWEEPS timed sweeps, report median.
+    eng = DeviceSweepEngine(psi, m, {
+        'chi_max': CHI, 'svd_min': 1e-10, 'lanczos_K': 10,
+        'n_sweeps': 1 + N_SWEEPS, 'cap_factor': 1.3})
+    eng.run()
+    times = sorted(eng.sweep_stats['time'][1:])
+    median = times[len(times) // 2]
+    E = eng.sweep_stats['E'][-1]
+    log(f"bench: sweep times {['%.2f' % t for t in eng.sweep_stats['time']]} "
+        f"E0={E:.10f}")
     print(json.dumps({
-        'metric': f'two-site effH matvec, Hubbard cylinder U(1)xU(1) '
+        'metric': f'iDMRG s/sweep, Hubbard Ly=4 cylinder U(1)xU(1) '
                   f'chi={CHI} ({jax.default_backend()})',
-        'value': round(1.0 / t, 2),
-        'unit': 'matvec/s',
-        'vs_baseline': round((REF_MATVEC_MS / 1e3) / t, 3),
-    }))
+        'value': round(median, 3),
+        'unit': 's/sweep (lower is better; vs_baseline = ref_time/our_time)',
+        'vs_baseline': round(REF_SWEEP_S / median, 3),
+    }), flush=True)
+    pk.stop_transfer_keepalive()
 
 
 if __name__ == '__main__':
-    main()
+    rc = 0
+    try:
+        main()
+    except BaseException:
+        import traceback
+        traceback.print_exc()
+        rc = 1
+    # the axon tunnel's client teardown can abort the interpreter (daemon
+    # transfer threads racing runtime destructors); by now the JSON line is
+    # out — exit hard, skipping interpreter teardown entirely.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

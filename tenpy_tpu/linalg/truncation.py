@@ -66,22 +66,39 @@ class TruncationError:
         return "TruncationError()"
 
 
-def _combine_constraints(good, other, warn):
-    """Intersect the allowed-cut masks; ignore `other` entirely if incompatible."""
-    res = np.logical_and(good, other)
-    if np.any(res):
-        return res
-    warnings.warn("truncation: can't satisfy constraint " + warn, stacklevel=3)
-    return good
+def _and_allowed(allowed, extra, constraint_name):
+    """AND a constraint's admissible keep-counts into `allowed`.
+
+    A constraint that would leave nothing admissible is dropped with a warning
+    instead of failing the decomposition (the reference's semantics for
+    conflicting truncation options)."""
+    both = allowed & extra
+    if both.any():
+        return both
+    warnings.warn("truncation: can't satisfy constraint " + constraint_name,
+                  stacklevel=3)
+    return allowed
 
 
 def truncate(S, options):
     """Select which Schmidt values of spectrum `S` to keep.
 
-    Options (reference ``truncation.py:146``): ``chi_max`` (default 100), ``chi_min``,
-    ``degeneracy_tol``, ``svd_min`` (default 1e-14), ``trunc_cut`` (default 1e-14).
+    Semantic parity note: the *policy* here must match the reference
+    (``tenpy/linalg/truncation.py:146``) decision-for-decision — the 1e-10
+    energy-parity requirement of BASELINE.json hinges on identical kept sets —
+    but it is formulated differently: we work with the descending spectrum and
+    a table of admissible *keep-counts* ``k`` (the reference walks ascending
+    cut positions).  Each option intersects the admissible set; an option that
+    would empty it is dropped with a warning; the final choice is the largest
+    admissible ``k`` (truncate as little as every constraint allows — except
+    ``trunc_cut``, whose admissible set by construction forces discarding
+    everything within the error budget).
 
-    Returns ``(mask, norm_new, TruncationError)``.
+    Options (reference defaults): ``chi_max`` (100), ``chi_min``,
+    ``degeneracy_tol``, ``svd_min`` (1e-14), ``trunc_cut`` (1e-14).
+
+    Returns ``(mask, norm_new, TruncationError)`` — mask over the *input*
+    order; at least one value is always kept.
     """
     options = asConfig(options, 'truncation')
     chi_max = options.get('chi_max', 100, int)
@@ -90,6 +107,7 @@ def truncate(S, options):
     svd_min = options.get('svd_min', 1e-14, 'real')
     trunc_cut = options.get('trunc_cut', 1e-14, 'real')
     S = np.asarray(S)
+    n = len(S)
 
     if trunc_cut is not None and trunc_cut >= 1.:
         raise ValueError("trunc_cut >= 1.")
@@ -98,34 +116,43 @@ def truncate(S, options):
     if np.any(S < -1e-10):
         warnings.warn("negative Schmidt values!", stacklevel=2)
 
-    logS = np.log(np.where(S <= 0., 1e-100, S))
-    piv = np.argsort(logS)  # ascending; we keep piv[cut:]
-    logS = logS[piv]
-    good = np.ones(len(piv), dtype=bool)  # good[cut]: is cutting below piv[cut] allowed?
+    # clamp non-positive values to one tiny tie value *before* sorting so that
+    # negative rounding noise and exact zeros are interchangeable at the cut
+    S_floor = np.where(S <= 0., 1e-100, S)
+    # stable ascending sort, reversed: descending with later-input ties first —
+    # the same kept *set* as the reference's ascending-stable convention
+    desc = np.argsort(S_floor, kind='stable')[::-1]
+    logS_desc = np.log(S_floor[desc])
 
-    if chi_max is not None:
-        good2 = np.zeros(len(piv), dtype=bool)
-        good2[-chi_max:] = True
-        good = _combine_constraints(good, good2, 'chi_max')
+    ks = np.arange(1, n + 1)          # candidate keep-counts; k=0 never allowed
+    allowed = np.ones(n, dtype=bool)
+    if chi_max is not None and chi_max > 0:
+        allowed = _and_allowed(allowed, ks <= chi_max, 'chi_max')
     if chi_min is not None and chi_min > 1:
-        good2 = np.ones(len(piv), dtype=bool)
-        good2[-chi_min + 1:] = False
-        good = _combine_constraints(good, good2, 'chi_min')
+        allowed = _and_allowed(allowed, ks >= chi_min, 'chi_min')
     if deg_tol:
-        good2 = np.empty(len(piv), bool)
-        good2[0] = True
-        good2[1:] = np.greater_equal(logS[1:] - logS[:-1], deg_tol)
-        good = _combine_constraints(good, good2, 'degeneracy_tol')
+        # no cut inside a near-degenerate multiplet: the log-gap between the
+        # smallest kept and the largest discarded value must be >= deg_tol
+        gap_ok = np.empty(n, dtype=bool)
+        gap_ok[:-1] = logS_desc[:-1] - logS_desc[1:] >= deg_tol
+        gap_ok[-1] = True             # keeping everything cuts no multiplet
+        allowed = _and_allowed(allowed, gap_ok, 'degeneracy_tol')
     if svd_min is not None:
-        good2 = np.greater_equal(logS, np.log(svd_min))
-        good = _combine_constraints(good, good2, 'svd_min')
+        # every kept value must be >= svd_min
+        allowed = _and_allowed(allowed, logS_desc >= np.log(svd_min),
+                               'svd_min')
     if trunc_cut is not None:
-        good2 = np.cumsum(S[piv] ** 2) > trunc_cut * trunc_cut
-        good = _combine_constraints(good, good2, 'trunc_cut')
+        # k admissible iff discarding *one more* would overflow the error
+        # budget: weight of the (n-k+1) smallest values > trunc_cut^2.
+        # This is what makes chi shrink when the spectrum decays fast.
+        # (raw S here, not S_floor: negative noise values keep their weight)
+        tail_w = np.cumsum(S[desc][::-1] ** 2)[::-1]         # tail_w[k-1]
+        allowed = _and_allowed(allowed, tail_w > trunc_cut * trunc_cut,
+                               'trunc_cut')
 
-    cut = int(np.nonzero(good)[0][0])
-    mask = np.zeros(len(S), dtype=bool)
-    mask[piv[cut:]] = True
+    k_keep = int(ks[allowed][-1])
+    mask = np.zeros(n, dtype=bool)
+    mask[desc[:k_keep]] = True
     norm_new = float(np.linalg.norm(S[mask]))
     return mask, norm_new, TruncationError.from_S(S[~mask])
 

@@ -21,7 +21,8 @@ from .thread import Worker
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['Storage', 'PickleStorage', 'ThreadedStorage', 'DictCache', 'CacheFile']
+__all__ = ['Storage', 'PickleStorage', 'Hdf5Storage', 'ThreadedStorage',
+           'DictCache', 'CacheFile']
 
 
 class Storage:
@@ -72,7 +73,7 @@ class PickleStorage(Storage):
     def __init__(self, directory, delete=True):
         super().__init__()
         self.directory = str(directory)
-        self.delete = delete
+        self._delete_on_close = delete
         os.makedirs(self.directory, exist_ok=True)
         self._keys = set()
 
@@ -83,7 +84,7 @@ class PickleStorage(Storage):
         return cls(directory, delete)
 
     def close(self):
-        if self.delete and os.path.isdir(self.directory):
+        if self._delete_on_close and os.path.isdir(self.directory):
             shutil.rmtree(self.directory, ignore_errors=True)
         self._keys.clear()
 
@@ -120,6 +121,80 @@ def _device_to_host(value):
     import jax
     return jax.tree_util.tree_map(
         lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, value)
+
+
+class Hdf5Storage(Storage):
+    """Disk-backed storage: one HDF5 file, one group per key.
+
+    Reference: ``tenpy/tools/cache.py:632`` — keys map to subgroups of a single
+    (temp) ``.h5`` file, written/read through the generic object<->HDF5
+    serializer (:mod:`tenpy_tpu.tools.io`).  Device (jax) leaves are moved to
+    host numpy before saving.
+    """
+
+    trivial = False
+
+    def __init__(self, h5file, filename=None, delete=True):
+        super().__init__()
+        self.h5file = h5file
+        self.filename = filename
+        self._delete_on_close = delete
+        self._keys = set()
+
+    @classmethod
+    def open(cls, filename=None, tmpdir=None, delete=True, mode='w', **kwargs):
+        import h5py
+        if filename is None:
+            fd, filename = tempfile.mkstemp(suffix='.h5',
+                                            prefix='tenpy_tpu_cache_',
+                                            dir=tmpdir)
+            os.close(fd)
+        return cls(h5py.File(filename, mode), filename, delete)
+
+    def close(self):
+        if self.h5file is not None:
+            try:
+                self.h5file.close()
+            except Exception:
+                pass
+            self.h5file = None
+        if self._delete_on_close and self.filename and os.path.isfile(self.filename):
+            try:
+                os.remove(self.filename)
+            except OSError:
+                pass
+        self._keys.clear()
+
+    def _grp(self, key):
+        return str(key).replace('/', '_')
+
+    def keys(self):
+        return set(self._keys)
+
+    def __contains__(self, key):
+        return key in self._keys
+
+    def save(self, key, value):
+        from .io import save_to_hdf5
+        value = _device_to_host(value)
+        name = self._grp(key)
+        if name in self.h5file:
+            del self.h5file[name]
+        save_to_hdf5(self.h5file, value, name)
+        self._keys.add(key)
+
+    def load(self, key):
+        from .io import load_from_hdf5
+        if key not in self._keys:
+            raise KeyError(key)
+        return load_from_hdf5(self.h5file, self._grp(key))
+
+    def delete(self, key):
+        if key in self._keys:
+            name = self._grp(key)
+            if name in self.h5file:
+                del self.h5file[name]
+            self._keys.discard(key)
 
 
 class ThreadedStorage(Storage):
@@ -170,9 +245,10 @@ class ThreadedStorage(Storage):
         return self.storage.load(key)
 
     def delete(self, key):
+        # synchronous: __contains__ must see the deletion immediately
         self.worker.join_tasks()
         self._preloaded.pop(key, None)
-        self.worker.put_task(self.storage.delete, key)
+        self.storage.delete(key)
 
     def preload(self, *keys):
         for key in keys:
@@ -302,8 +378,12 @@ class CacheFile(DictCache):
         elif storage_class == 'PickleStorage':
             storage = PickleStorage.open(tmpdir=tmpdir, delete=delete)
         elif storage_class == 'Hdf5Storage':
-            logger.warning("Hdf5Storage unavailable (no h5py); using PickleStorage")
-            storage = PickleStorage.open(tmpdir=tmpdir, delete=delete)
+            try:
+                storage = Hdf5Storage.open(tmpdir=tmpdir, delete=delete)
+            except ImportError:
+                logger.warning("Hdf5Storage unavailable (no h5py); "
+                               "using PickleStorage")
+                storage = PickleStorage.open(tmpdir=tmpdir, delete=delete)
         else:
             raise ValueError(f"unknown storage_class {storage_class!r}")
         if use_threading and not storage.trivial:

@@ -35,6 +35,21 @@ def test_pickle_storage_cache(tmp_path):
             assert np.all(c[f'k{i}'] == i)
 
 
+def test_hdf5_storage_cache(tmp_path):
+    pytest.importorskip('h5py')
+    with CacheFile.open(storage_class='Hdf5Storage', tmpdir=str(tmp_path),
+                        use_threading=True) as c:
+        assert type(c.storage.storage).__name__ == 'Hdf5Storage'
+        for i in range(4):
+            c[f'k{i}'] = {'arr': np.full(4, i), 'tag': f't{i}'}
+        c.preload('k2', 'k3')
+        for i in range(4):
+            v = c[f'k{i}']
+            assert np.all(v['arr'] == i) and v['tag'] == f't{i}'
+        del c['k0']
+        assert 'k0' not in c
+
+
 def test_event_handler_priorities():
     ev = EventHandler("arg")
     calls = []
