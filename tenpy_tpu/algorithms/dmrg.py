@@ -159,6 +159,48 @@ class DMRGEngine(IterativeSweeps):
             self.sweep_stats['max_trunc_err'][-1], self.sweep_stats['norm_err'][-1],
             memory_usage())
 
+    def _plot_stats(self, stats, axes, xaxis, yaxis, y_exact, **kwargs):
+        if axes is None:
+            import matplotlib.pyplot as plt
+            axes = plt.gca()
+        if xaxis is None or xaxis == 'index':
+            x = np.arange(len(stats[yaxis]))
+            xlabel = 'index'
+        else:
+            x = np.asarray(stats[xaxis])
+            xlabel = xaxis
+        y = np.asarray(stats[yaxis])
+        ylabel = yaxis
+        if y_exact is not None:
+            y = np.abs(y - y_exact)
+            ylabel = f'|{yaxis} - exact|'
+            axes.set_yscale('log')
+        axes.plot(x[:len(y)], y, **kwargs)
+        axes.set_xlabel(xlabel)
+        axes.set_ylabel(ylabel)
+        return axes
+
+    def plot_update_stats(self, axes=None, xaxis='time', yaxis='E_total',
+                          y_exact=None, **kwargs):
+        """Plot a per-update statistic (default: energy vs wall time).
+
+        Reference API: ``tenpy/algorithms/dmrg.py:754``.  ``y_exact`` switches
+        to a log plot of ``|y - y_exact|``."""
+        stats = dict(self.update_stats)
+        if 'time' not in stats or not stats.get('time'):
+            stats['time'] = list(range(len(stats[yaxis])))
+        if yaxis == 'E':
+            yaxis = 'E_total'
+        return self._plot_stats(stats, axes, xaxis, yaxis, y_exact, **kwargs)
+
+    def plot_sweep_stats(self, axes=None, xaxis='time', yaxis='E',
+                         y_exact=None, **kwargs):
+        """Plot a per-sweep statistic (default: energy vs wall time).
+
+        Reference API: ``tenpy/algorithms/dmrg.py:812``."""
+        return self._plot_stats(self.sweep_stats, axes, xaxis, yaxis, y_exact,
+                                **kwargs)
+
     def is_converged(self):
         """Converged when both |Delta E| and |Delta S| are below thresholds.
 

@@ -440,6 +440,160 @@ class Lattice:
         cp.segment_first_last = (first, last)
         return cp
 
+    # ---------------------------------------------------------------- plotting
+    # Matplotlib helpers with the reference's API surface
+    # (``tenpy/models/lattice.py:1366-1683``), implemented over this class's
+    # position()/order/pairs data.  All take an existing ``ax``.
+
+    def _pos2d(self, pos):
+        """Project positions to 2D for plotting (pad 1D with zeros)."""
+        pos = np.atleast_2d(np.asarray(pos, float))
+        if pos.shape[1] == 1:
+            pos = np.hstack([pos, np.zeros((len(pos), 1))])
+        return pos[:, :2]
+
+    def plot_sites(self, ax, markers=['o', '^', 's', 'p', 'h', 'D'],
+                   labels=None, **kwargs):
+        """Scatter all lattice sites, one marker per unit-cell index.
+
+        Reference: ``lattice.py:1366``."""
+        kwargs.setdefault('linestyle', 'None')
+        for u in range(self.Lu):
+            _, lat = self.mps_lat_idx_fix_u(u)
+            pos = self._pos2d(self.position(
+                np.hstack([lat, np.full((len(lat), 1), u, int)])))
+            m = markers[u % len(markers)]
+            label = None if labels is None else labels[u % len(labels)]
+            ax.plot(pos[:, 0], pos[:, 1], marker=m, label=label, **kwargs)
+
+    def plot_order(self, ax, order=None, textkwargs={}, **kwargs):
+        """Draw a line through the sites in MPS order (+ index labels).
+
+        Reference: ``lattice.py:1397``."""
+        if order is None:
+            order = self._order
+        pos = self._pos2d(self.position(order))
+        kwargs.setdefault('color', 'r')
+        ax.plot(pos[:, 0], pos[:, 1], **kwargs)
+        if textkwargs is not None:
+            textkwargs = dict(textkwargs)
+            textkwargs.setdefault('color', kwargs['color'])
+            for i, p in enumerate(pos):
+                ax.text(p[0], p[1], str(i), **textkwargs)
+
+    def plot_coupling(self, ax, coupling=None, wrap=False, **kwargs):
+        """Draw lines between coupled site pairs.
+
+        ``coupling``: list of ``(u1, u2, dx)`` (default: nearest neighbors
+        from ``self.pairs``).  With ``wrap``, couplings crossing a periodic
+        boundary are drawn wrapped to the neighbor's true image position
+        (possibly outside the cell); otherwise they are skipped when they'd
+        span the whole system.  Reference: ``lattice.py:1427``."""
+        if coupling is None:
+            coupling = self.pairs.get('nearest_neighbors', [])
+        kwargs.setdefault('color', 'k')
+        Ls = np.array(self.Ls)
+        for u1, u2, dx in coupling:
+            dx = np.asarray(dx, int)
+            mps_i, mps_j, lat_idx, _ = self.possible_couplings(u1, u2, dx)
+            if len(mps_i) == 0:
+                continue
+            lat_i = self._order[mps_i % self.N_sites, :-1] \
+                + (mps_i // self.N_sites)[:, None] * np.array(
+                    [self.Ls[0]] + [0] * (self.dim - 1))
+            pos_i = self._pos2d(self.position(
+                np.hstack([lat_i, np.full((len(mps_i), 1), u1, int)])))
+            # neighbor's image position: i's cell + dx (not the wrapped cell)
+            pos_j = self._pos2d(self.position(
+                np.hstack([lat_i + dx, np.full((len(mps_j), 1), u2, int)])))
+            if not wrap:
+                # drop couplings that wrapped around a periodic direction
+                lat_j_wrapped = self._order[mps_j % self.N_sites, :-1]
+                raw = lat_i + dx
+                keep = np.ones(len(mps_i), bool)
+                for a in range(self.dim):
+                    if not self.bc[a] and (a != 0 or self.bc_MPS != 'infinite'):
+                        keep &= (raw[:, a] % Ls[a]) == raw[:, a]
+                pos_i, pos_j = pos_i[keep], pos_j[keep]
+            segs = np.stack([pos_i, pos_j], axis=1)     # (n, 2, 2)
+            xs = np.empty((len(segs) * 3,))
+            ys = np.empty_like(xs)
+            xs[0::3], xs[1::3], xs[2::3] = segs[:, 0, 0], segs[:, 1, 0], np.nan
+            ys[0::3], ys[1::3], ys[2::3] = segs[:, 0, 1], segs[:, 1, 1], np.nan
+            ax.plot(xs, ys, **kwargs)
+
+    def plot_basis(self, ax, origin=(0., 0.), shade=None, **kwargs):
+        """Arrows for the lattice basis vectors.  Reference: ``:1479``."""
+        kwargs.setdefault('angles', 'xy')
+        kwargs.setdefault('scale_units', 'xy')
+        kwargs.setdefault('scale', 1.)
+        origin = np.asarray(origin, float)
+        vecs = self._pos2d(self.basis)
+        if shade and len(vecs) >= 2:
+            import matplotlib.patches as mpatches
+            corners = np.array([origin, origin + vecs[0],
+                                origin + vecs[0] + vecs[1], origin + vecs[1]])
+            ax.add_patch(mpatches.Polygon(corners, alpha=0.2, color='gray'))
+        for v in vecs:
+            ax.quiver([origin[0]], [origin[1]], [v[0]], [v[1]], **kwargs)
+
+    def plot_reciprocal_basis(self, ax, origin=(0., 0.), plot_symmetric=True,
+                              **kwargs):
+        """Arrows for the reciprocal basis vectors.  Reference: ``:1510``."""
+        kwargs.setdefault('angles', 'xy')
+        kwargs.setdefault('scale_units', 'xy')
+        kwargs.setdefault('scale', 1.)
+        recip = self.BZ.reciprocal_basis
+        origin = np.asarray(origin, float)
+        for v in self._pos2d(recip):
+            ax.quiver([origin[0]], [origin[1]], [v[0]], [v[1]], **kwargs)
+        if plot_symmetric:
+            lim = 0.6 * np.abs(self._pos2d(recip)).max()
+            ax.set_xlim(-lim, lim)
+            ax.set_ylim(-lim, lim)
+
+    def plot_bc_identified(self, ax, direction=-1, origin=None,
+                           cylinder_axis=False, **kwargs):
+        """Mark the sites identified by periodic boundary conditions.
+
+        Draws markers on the first row of sites and on their periodic images
+        along ``direction`` (default: the last periodic direction).
+        Reference: ``lattice.py:1547``."""
+        if direction < 0:
+            direction += self.dim
+        assert not self.bc[direction], "direction must be periodic"
+        kwargs.setdefault('marker', 'o')
+        kwargs.setdefault('markersize', 10)
+        kwargs.setdefault('fillstyle', 'none')
+        kwargs.setdefault('linestyle', 'None')
+        kwargs.setdefault('color', 'orange')
+        shift = self.Ls[direction] * self.basis[direction]
+        if self.bc_shift[direction]:
+            shift = shift + self.bc_shift[direction] * self.basis[0]
+        first = [idx for idx in self._order if idx[direction] == 0]
+        pos = self.position(np.asarray(first, int))
+        for p in [self._pos2d(pos), self._pos2d(pos + shift)]:
+            ax.plot(p[:, 0], p[:, 1], **kwargs)
+        if cylinder_axis and self.dim == 2:
+            c = self._pos2d(pos).mean(0)
+            axis = self._pos2d(np.atleast_2d(shift))[0]
+            perp = np.array([-axis[1], axis[0]])
+            n = perp / max(np.linalg.norm(perp), 1e-15)
+            span = np.linalg.norm(self._pos2d(self.basis).sum(0)) * max(self.Ls)
+            ax.plot([c[0] - n[0] * span, c[0] + n[0] * span],
+                    [c[1] - n[1] * span, c[1] + n[1] * span], 'k--', lw=1)
+
+    @property
+    def BZ(self):
+        """First Brillouin zone of this lattice's basis."""
+        if getattr(self, '_BZ', None) is None:
+            self._BZ = SimpleBZ(self.basis, self.dim)
+        return self._BZ
+
+    def plot_brillouin_zone(self, ax, *args, **kwargs):
+        """Plot the first Brillouin zone boundary.  Reference: ``:1602``."""
+        return self.BZ.plot_brillouin_zone(ax, *args, **kwargs)
+
     def test_sanity(self):
         assert len(self._order) == self.N_sites
         assert sorted(map(tuple, self._order)) == sorted(
@@ -500,6 +654,33 @@ class SimpleBZ:
         self.reciprocal_basis = np.asarray(recip)
         self.dim = dim
         return self
+
+    def vertices(self):
+        """Corners of the first BZ (2D: Voronoi cell of the reciprocal
+        lattice around the origin; 1D: the interval endpoints)."""
+        recip = np.atleast_2d(self.reciprocal_basis)
+        if self.dim == 1 or len(recip) == 1:
+            g = np.linalg.norm(recip[0])
+            return np.array([[-g / 2.], [g / 2.]])
+        from scipy.spatial import Voronoi
+        pts = [i * recip[0][:2] + j * recip[1][:2]
+               for i in range(-2, 3) for j in range(-2, 3)]
+        vor = Voronoi(np.asarray(pts))
+        region = vor.regions[vor.point_region[12]]   # the origin's cell
+        verts = vor.vertices[region]
+        ang = np.arctan2(verts[:, 1], verts[:, 0])
+        return verts[np.argsort(ang)]
+
+    def plot_brillouin_zone(self, ax, *args, **kwargs):
+        """Draw the first-BZ boundary polygon.  Reference: ``lattice.py:3459``."""
+        kwargs.setdefault('color', 'k')
+        v = self.vertices()
+        if v.shape[1] == 1:
+            ax.axvline(v[0, 0], *args, **kwargs)
+            ax.axvline(v[1, 0], *args, **kwargs)
+        else:
+            closed = np.vstack([v, v[:1]])
+            ax.plot(closed[:, 0], closed[:, 1], *args, **kwargs)
 
 
 # ======================================================================== concrete

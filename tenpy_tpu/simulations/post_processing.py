@@ -15,7 +15,8 @@ from ..tools.spectral_function_tools import spectral_function
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['DataLoader', 'DataFiles', 'pp_spectral_function']
+__all__ = ['DataLoader', 'DataFiles', 'pp_spectral_function',
+           'pp_plot_correlations_on_lattice']
 
 
 class DataLoader:
@@ -44,6 +45,17 @@ class DataLoader:
 
     def keys(self):
         return self._data.keys()
+
+    @property
+    def lat(self):
+        """The simulation's lattice, rebuilt from the saved model params."""
+        if getattr(self, '_lat', None) is None:
+            from ..models.model import Model
+            from ..tools.misc import find_subclass
+            params = dict(self.sim_params.get('model_params', {}))
+            cls = find_subclass(Model, self.sim_params['model_class'])
+            self._lat = cls(params).lat
+        return self._lat
 
 
 class DataFiles:
@@ -77,3 +89,43 @@ def pp_spectral_function(data_loader, *, correlation_key='correlation_t',
         dim = 1
         Ls = (C_t.shape[1],)
     return spectral_function(C_t, _Lat1D(), dt, **kwargs)
+
+
+def pp_plot_correlations_on_lattice(data_loader, *, data_key, t_step=0,
+                                    keys='nearest_neighbors',
+                                    default_dir='plots',
+                                    save_as='Correlations.pdf', markers='D',
+                                    figsize=(8, 8), **kwargs):
+    """Save a plot of measured correlations drawn on the lattice.
+
+    ``data_key`` selects an ``(N, N)`` (or ``(T, N, N)``, with ``t_step``)
+    correlation matrix from the measurements; line thickness encodes the
+    correlation strength on each bond of ``lat.pairs[keys]``.
+    Reference: ``tenpy/simulations/post_processing.py:397``.
+    """
+    import os
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from ..tools.spectral_function_tools import plot_correlations_on_lattice
+    os.makedirs(default_dir, exist_ok=True)
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(markers, str):
+        markers = [markers]
+    lat = data_loader.lat
+    correlations = data_loader.get_data_m(data_key)
+    fig, ax = plt.subplots(figsize=figsize)
+    title = f'Correlations {data_key}'
+    if correlations.ndim == 3:
+        correlations = correlations[t_step]
+        title += f', timestep {t_step}'
+    ax.set_title(title)
+    for key in keys:
+        plot_correlations_on_lattice(ax, lat, correlations, pairs=key,
+                                     **kwargs)
+    lat.plot_sites(ax, markers=markers)
+    path = os.path.join(default_dir, save_as)
+    fig.savefig(path, bbox_inches='tight')
+    plt.close(fig)
+    return path

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ['spectral_function', 'fourier_transform_space', 'fourier_transform_time',
+__all__ = ['spectral_function', 'plot_correlations_on_lattice',
+           'fourier_transform_space', 'fourier_transform_time',
            'apply_gaussian_windowing', 'to_mps_geometry']
 
 
@@ -78,3 +79,39 @@ def to_mps_geometry(lat, a):
         dims_until_lat_dims += 1
     a = a.reshape(a.shape[:dims_until_lat_dims] + (-1,))
     return np.take(a, mps_idx_flattened, axis=-1)
+
+
+def plot_correlations_on_lattice(ax, lat, correlations,
+                                 pairs='nearest_neighbors', scale=1.,
+                                 color_pos='r', color_neg='g', color=None,
+                                 zorder=0):
+    """Draw correlation strengths as line thickness on lattice bonds.
+
+    ``correlations``: an ``(N_sites, N_sites)`` matrix in MPS order; for each
+    coupled pair of the lattice's ``pairs[pairs]`` table a line is drawn whose
+    width is ``|C_ij| * scale``, colored by sign (``color`` overrides both).
+    Reference API: ``tenpy/tools/spectral_function_tools.py:196``.
+    """
+    import numpy as np
+    from matplotlib.collections import LineCollection
+    correlations = np.asarray(correlations)
+    mps_i, mps_j = [], []
+    for pair in lat.pairs[pairs]:
+        i, j, _, _ = lat.possible_couplings(*pair)
+        mps_i.append(i % lat.N_sites)
+        mps_j.append(j % lat.N_sites)
+    mps_i = np.concatenate(mps_i)
+    mps_j = np.concatenate(mps_j)
+    pos_i = lat._pos2d(lat.position(lat.mps2lat_idx(mps_i)))
+    pos_j = lat._pos2d(lat.position(lat.mps2lat_idx(mps_j)))
+    segs = np.stack([pos_i, pos_j], axis=1)
+    strengths = np.real(correlations[mps_i, mps_j]) * scale
+    pos = strengths >= 0
+    for sel, col in [(pos, color_pos), (~pos, color_neg)]:
+        if not np.any(sel):
+            continue
+        ax.add_collection(LineCollection(
+            segs[sel], linewidths=np.abs(strengths[sel]),
+            colors=color if color is not None else col, zorder=zorder))
+    ax.autoscale_view()
+    return ax
