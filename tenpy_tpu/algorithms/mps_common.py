@@ -189,7 +189,8 @@ def _matvec_2site_packed(LPp, RPp, W0p, W1p, v):
 
 
 def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
-                                 P_tol=0., N_min=2, reortho=False):
+                                 P_tol=0., N_min=2, reortho=False,
+                                 matvec_mode=None, exact_E=False):
     """Convergence-controlled Lanczos + Ritz ground state on packed blocks.
 
     Unlike :func:`_lanczos_K_2site_impl` (per-block pytree leaves, capped by
@@ -210,6 +211,14 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
 
     Returns ``(E0, theta_gs, N_used, resid)`` with ``resid`` the standard
     residual bound ``|beta_N * <e_N, gs>|``.
+
+    ``matvec_mode`` (``None``/``'f32'``/``'bf16'``) runs the Lanczos matvecs
+    in reduced GEMM precision (:func:`~tenpy_tpu.linalg.packed.matmul_mode`)
+    while all scalar algebra (alpha/beta, tridiagonal eigensolve,
+    orthogonalization) stays f64.  With ``exact_E`` the returned E0 is the
+    full-f64 Rayleigh quotient ``<theta|H|theta>`` of the Ritz vector (one
+    extra full-precision matvec) — a true variational energy even when the
+    iterations ran reduced.
     """
     import jax
     from jax import lax
@@ -217,17 +226,26 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
 
     # promote theta to the matvec result dtype upfront: the loop carry must
     # be dtype-stable (real guess + complex H would otherwise change the
-    # pytree aux on the first iteration)
+    # pytree aux on the first iteration).  Complex lives in split re/im
+    # channels (PackedArray.data_im), never in complex buffers.
     dt = jnp.result_type(LPp.dtype, RPp.dtype, W0p.dtype, W1p.dtype,
                          theta0.dtype)
-    if dt != theta0.dtype:
+    if jnp.issubdtype(dt, jnp.complexfloating) and not theta0.iscomplex:
+        theta0 = theta0._with_data(list(theta0.data),
+                                   [jnp.zeros_like(d) for d in theta0.data])
+    elif dt != theta0.dtype:
         theta0 = theta0._with_data([d.astype(dt) for d in theta0.data])
+    if reortho and theta0.iscomplex:
+        raise NotImplementedError(
+            "reortho with complex (split-channel) Krylov vectors needs "
+            "complex Gram-Schmidt coefficients; run without reortho")
     nrm0 = pk.norm(theta0)
     v0 = theta0 * (1. / nrm0)
     real_dtype = jnp.zeros((), theta0.dtype).real.dtype
 
     def matvec(v):
-        return _matvec_2site_packed(LPp, RPp, W0p, W1p, v)
+        with pk.matmul_mode(matvec_mode):   # trace-time switch
+            return _matvec_2site_packed(LPp, RPp, W0p, W1p, v)
 
     def tree_dot(Vbuf, w):
         """<Vbuf_j, w> for all K slots (unfilled slots are zero -> coeff 0)."""
@@ -256,6 +274,23 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
         evals, evecs = jnp.linalg.eigh(T)
         return evals[0], evecs[:, 0]
 
+    def final_E(E_T, theta_gs):
+        """Full-f64 variational energy of the (normalized) Ritz vector."""
+        if not (exact_E and matvec_mode is not None):
+            return E_T
+        hw = _matvec_2site_packed(LPp, RPp, W0p, W1p, theta_gs)
+        return pk.inner_re(theta_gs, hw)
+
+    # Krylov noise floor: once the residual beta drops to the matvec's GEMM
+    # noise (~eps * |H v|), the "next" basis vector is pure noise — adding it
+    # corrupts the tridiagonal (junk alphas can land *below* E0) and the Ritz
+    # state.  Stop there instead; scale by the running |alpha| + beta.
+    mv_eps = {'f32': 2e-7, 'bf16': 3e-3}.get(matvec_mode, 0.)
+
+    def beta_floor(alpha, beta_prev):
+        return jnp.maximum(1e-14, 30. * mv_eps * (jnp.abs(alpha)
+                                                  + beta_prev))
+
     if not (P_tol and P_tol > 0) and not reortho:
         # fixed-K path: plain lax.scan, NO eigensolve inside the loop (the
         # in-loop eigh costs compile time and trace complexity for nothing
@@ -263,11 +298,11 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
         def body(carry, _):
             v_prev, v, beta_prev = carry
             hw = matvec(v)
-            alpha = jnp.real(pk.inner(v.conj(), hw))
+            alpha = pk.inner_re(v, hw)
             hw = hw - v * alpha
             hw = hw - v_prev * beta_prev
             beta = pk.norm(hw)
-            ok = beta > 1e-14
+            ok = beta > beta_floor(alpha, beta_prev)
             inv = jnp.where(ok, 1. / jnp.where(ok, beta, 1.), 0.)
             v_next = hw * inv
             return (v, v_next, jnp.where(ok, beta, 0.)), (v, alpha, beta)
@@ -275,7 +310,14 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
         zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
         (_, _, _), (vs, alphas, betas) = lax.scan(
             body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
-        T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+        # slots after an early Krylov breakdown are dead (zero vectors, zero
+        # alpha/beta): shift their diagonal above the spectrum (Gershgorin)
+        # so the min eigenvalue comes from the live block
+        live = jnp.concatenate([jnp.ones(1, bool),
+                                jnp.cumprod(betas[:-1] > 0).astype(bool)])
+        big = jnp.max(jnp.abs(alphas)) + 2. * jnp.max(jnp.abs(betas)) + 1.
+        diag = jnp.where(live, alphas, big)
+        T = jnp.diag(diag) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
         evals, evecs = jnp.linalg.eigh(T)
         c = evecs[:, 0]
         theta_gs = jax.tree_util.tree_map(
@@ -284,7 +326,7 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
         nrm = pk.norm(theta_gs)
         theta_gs = theta_gs * (1. / nrm)
         resid = jnp.abs(betas[-1] * c[-1])
-        return evals[0], theta_gs, jnp.asarray(K), resid
+        return final_E(evals[0], theta_gs), theta_gs, jnp.asarray(K), resid
 
     Vbuf0 = jax.tree_util.tree_map(
         lambda l: jnp.zeros((K,) + l.shape, l.dtype), v0)
@@ -300,14 +342,14 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
         i, v_prev, v, beta_prev, Vbuf, alphas, betas, E_prev, done = st
         Vbuf = jax.tree_util.tree_map(lambda b, l: b.at[i].set(l), Vbuf, v)
         hw = matvec(v)
-        alpha = jnp.real(pk.inner(v.conj(), hw))
+        alpha = pk.inner_re(v, hw)
         hw = hw - v * alpha
         hw = hw - v_prev * beta_prev
         if reortho:
             c = tree_dot(Vbuf, hw)
             hw = hw - tree_back(Vbuf, c)
         beta = pk.norm(hw)
-        ok = beta > 1e-14
+        ok = beta > beta_floor(alpha, beta_prev)
         inv = jnp.where(ok, 1. / jnp.where(ok, beta, 1.), 0.)
         v_next = hw * inv
         alphas = alphas.at[i].set(alpha)
@@ -328,22 +370,24 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
     theta_gs = tree_back(Vbuf, c)
     nrm = pk.norm(theta_gs)
     theta_gs = theta_gs * (1. / nrm)
-    return E0, theta_gs, i, resid
+    return final_E(E0, theta_gs), theta_gs, i, resid
 
 
 _lanczos_K_2site_packed_jit = None
 
 
 def lanczos_K_2site_packed(LPp, RPp, W0p, W1p, theta0, K, P_tol=0.,
-                           N_min=2, reortho=False):
+                           N_min=2, reortho=False, matvec_mode=None,
+                           exact_E=False):
     """Jitted wrapper of :func:`_lanczos_K_2site_packed_impl` (K etc. static)."""
     global _lanczos_K_2site_packed_jit
     import jax
     if _lanczos_K_2site_packed_jit is None:
-        _lanczos_K_2site_packed_jit = jax.jit(_lanczos_K_2site_packed_impl,
-                                              static_argnums=(5, 6, 7, 8))
+        _lanczos_K_2site_packed_jit = jax.jit(
+            _lanczos_K_2site_packed_impl, static_argnums=(5, 6, 7, 8, 9, 10))
     return _lanczos_K_2site_packed_jit(LPp, RPp, W0p, W1p, theta0, K,
-                                       P_tol, N_min, reortho)
+                                       P_tol, N_min, reortho, matvec_mode,
+                                       exact_E)
 
 
 def _matvec_2site_combined_impl(LHeff, RHeff, theta):

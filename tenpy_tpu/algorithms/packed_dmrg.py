@@ -107,6 +107,13 @@ class DeviceSweepEngine:
         self.total_cap_factor = float(opts.get('total_cap_factor', 1.5))
         self.lanczos_P_tol = float(opts.get('lanczos_P_tol', 1e-14))
         self.reortho = bool(opts.get('reortho', False))
+        # mixed precision (see packed.matmul_mode): Lanczos iterations in
+        # reduced-precision GEMMs; the final `polish_sweeps` sweeps rerun in
+        # full f64 so the reported energy is the exact variational one
+        self.matvec_mode = opts.get('matvec_mode', None)
+        self.exact_E = bool(opts.get('exact_E', False))
+        self.polish_sweeps = int(opts.get('polish_sweeps',
+                                          1 if self.matvec_mode else 0))
         self.log_updates = bool(opts.get('log_updates',
                                          os.environ.get('TENPY_TPU_LOG_UPDATES')))
         self.finite = psi.bc == 'finite'
@@ -114,7 +121,9 @@ class DeviceSweepEngine:
         if self.L < 2:
             raise ValueError("DeviceSweepEngine needs L >= 2")
         self.n_bonds = self.L + 1 if self.finite else self.L
-        self.sweep_stats = {'sweep': [], 'E': [], 'max_err': [], 'time': []}
+        self.sweep_stats = {'sweep': [], 'E': [], 'max_err': [], 'time': [],
+                            'mode': []}
+        self._cur_mode = None
         pk.start_transfer_keepalive()   # no-op on CPU
         self._jit_cache = {}
         self._C = None            # center-matrix carry (site of last update)
@@ -127,20 +136,25 @@ class DeviceSweepEngine:
     # ------------------------------------------------------------- setup
     def _setup(self):
         psi, L = self.psi, self.L
-        psi.real_if_close()   # complex128 is unsupported on TPU backends
+        # prefer the real path when possible (complex costs ~3x in GEMMs);
+        # genuinely complex states run on split re/im channel storage
+        # (PackedArray.data_im — TPU backends have no complex128)
+        psi.real_if_close()
         if jnp.issubdtype(psi.dtype, jnp.complexfloating) and \
                 not jnp.issubdtype(self.model.H_MPO.dtype,
                                    jnp.complexfloating):
             # real H, real physics: residual imaginary parts are gauge junk
             # from canonicalization eigensolvers; drop them at the truncation
-            # noise scale rather than refusing the device path
+            # noise scale rather than paying the complex path
             psi.real_if_close(tol=1e-6)
-            if jnp.issubdtype(psi.dtype, jnp.complexfloating):
-                raise NotImplementedError(
-                    "state has a genuine imaginary part; complex data needs "
-                    "the (future) split re/im device storage")
-            logger.warning("dropped O(<=1e-6) imaginary gauge junk to keep "
-                           "the state on the real device path")
+            if not jnp.issubdtype(psi.dtype, jnp.complexfloating):
+                logger.warning("dropped O(<=1e-6) imaginary gauge junk to "
+                               "keep the state on the real device path")
+        if jnp.issubdtype(psi.dtype, jnp.complexfloating):
+            logger.info("complex state: using split re/im channel storage")
+            if self.reortho:
+                raise NotImplementedError("reortho unsupported with complex "
+                                          "split-channel Lanczos")
         cap_factor = self.cap_factor
         # fixed padded capacity layouts: bond[i] = vL leg of site i (qconj +1)
         self.bond = []
@@ -256,12 +270,14 @@ class DeviceSweepEngine:
 
     # ---------------------------------------------------------- jitted step
     def _get_step(self, move_right, plan, sig):
-        key = (move_right, id(plan), sig)
+        mode = self._cur_mode
+        key = (move_right, id(plan), sig, mode)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         K, chi, smin, backend = self.K, self.chi_max, self.svd_min, self.backend
         P_tol, reortho = self.lanczos_P_tol, self.reortho
+        exact_E = self.exact_E
 
         def step(LP, RP, W0, W1, C, N):
             if move_right:
@@ -275,7 +291,7 @@ class DeviceSweepEngine:
             W0m = W0.replace_labels(['p', 'p*'], ['p0', 'p0*'])
             W1m = W1.replace_labels(['p', 'p*'], ['p1', 'p1*'])
             E0, th, _, _ = _lanczos_K_2site_packed_impl(
-                LP, RP, W0m, W1m, th0, K, P_tol, 2, reortho)
+                LP, RP, W0m, W1m, th0, K, P_tol, 2, reortho, mode, exact_E)
             A, S, B, err, renorm, n_kept = ps.split_truncate(
                 th, plan, chi, smin, backend)
             if move_right:
@@ -355,7 +371,10 @@ class DeviceSweepEngine:
 
     def run(self):
         E_prev = None
-        for sw in range(self.n_sweeps):
+        n_mixed = self.n_sweeps - self.polish_sweeps
+        sw = 0
+        while sw < self.n_sweeps:
+            self._cur_mode = self.matvec_mode if sw < n_mixed else None
             t0 = time.time()
             E, max_err = self.sweep()
             dt = time.time() - t0
@@ -363,12 +382,19 @@ class DeviceSweepEngine:
             self.sweep_stats['E'].append(E)
             self.sweep_stats['max_err'].append(max_err)
             self.sweep_stats['time'].append(dt)
-            logger.info("device sweep %d: E0=%.14f max_err=%.2e (%.2fs)",
-                        sw + 1, E, max_err, dt)
-            if E_prev is not None and self.e_tol > 0 and \
-                    abs(E - E_prev) < self.e_tol:
-                break
+            self.sweep_stats['mode'].append(self._cur_mode or 'f64')
+            logger.info("device sweep %d (%s): E0=%.14f max_err=%.2e (%.2fs)",
+                        sw + 1, self._cur_mode or 'f64', E, max_err, dt)
+            converged = (E_prev is not None and self.e_tol > 0
+                         and abs(E - E_prev) < self.e_tol)
             E_prev = E
+            sw += 1
+            if converged:
+                if sw < n_mixed:
+                    sw = n_mixed   # converged early: jump to the polish phase
+                    E_prev = None  # E jumps at the precision switch
+                else:
+                    break
         self.write_back()
         return self.sweep_stats['E'][-1], self.psi
 

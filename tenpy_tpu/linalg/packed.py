@@ -37,7 +37,7 @@ from .charges import QTYPE
 from .padding import pad_leg
 
 __all__ = ['PackedArray', 'pack', 'unpack', 'tensordot', 'inner', 'norm',
-           'complete_structure']
+           'complete_structure', 'matmul_mode']
 
 
 class PackedArray:
@@ -55,6 +55,12 @@ class PackedArray:
         blocks stacked in ``data[s]`` (row-lexsorted, read-only).
     data : list of jnp.ndarray
         ``data[s].shape == (N_s,) + shapes[s]``.
+    data_im : list of jnp.ndarray | None
+        Imaginary-part channel, same shapes as ``data`` — TPU backends have no
+        complex128, so a complex tensor is stored as two f64 channels with
+        manual complex arithmetic in :func:`tensordot` (3-mult scheme) /
+        :meth:`conj` / :func:`inner`.  ``None`` for real tensors; ``dtype``
+        stays the *logical* dtype (``complex128``), buffers are its real type.
 
     The *original* (unpadded) legs are deliberately NOT carried along: plans
     are cached on the padded structure, and two different original legs can
@@ -63,16 +69,27 @@ class PackedArray:
     """
 
     __slots__ = ('legs', 'qtotal', '_labels', 'shapes', 'qdatas', 'data',
-                 'dtype')
+                 'dtype', 'data_im')
 
-    def __init__(self, legs, qtotal, labels, shapes, qdatas, data, dtype):
+    def __init__(self, legs, qtotal, labels, shapes, qdatas, data, dtype,
+                 data_im=None):
         self.legs = tuple(legs)
         self.qtotal = tuple(int(q) for q in np.asarray(qtotal).ravel())
         self._labels = tuple(labels)
         self.shapes = tuple(tuple(int(x) for x in s) for s in shapes)
         self.qdatas = tuple(qdatas)
         self.data = list(data)
+        self.data_im = list(data_im) if data_im is not None else None
         self.dtype = jnp.dtype(dtype)
+
+    @property
+    def iscomplex(self):
+        return self.data_im is not None
+
+    def channels(self):
+        """List of channel buffer lists: ``[data]`` or ``[data, data_im]``."""
+        return [self.data] if self.data_im is None else [self.data,
+                                                         self.data_im]
 
     # ------------------------------------------------------------- properties
     @property
@@ -106,7 +123,7 @@ class PackedArray:
         mapping = dict(zip(old, new))
         labels = tuple(mapping.get(l, l) for l in self._labels)
         return PackedArray(self.legs, self.qtotal, labels, self.shapes,
-                           self.qdatas, self.data, self.dtype)
+                           self.qdatas, self.data, self.dtype, self.data_im)
 
     def transpose(self, perm):
         """New PackedArray with permuted legs; `perm` indices or labels."""
@@ -116,29 +133,35 @@ class PackedArray:
         legs = [self.legs[i] for i in perm]
         labels = tuple(self._labels[i] for i in perm)
         dperm = [0] + [1 + i for i in perm]
-        # permuted shape groups can collide -> merge
+        # permuted shape groups can collide -> merge; the merge/sort schedule
+        # depends only on qdata, so it applies identically to every channel
         merged = {}
-        for s, (shape, q, d) in enumerate(zip(self.shapes, self.qdatas,
-                                              self.data)):
+        for s, (shape, q) in enumerate(zip(self.shapes, self.qdatas)):
             new_shape = tuple(shape[i] for i in perm)
             new_q = np.ascontiguousarray(q[:, perm])
-            new_d = jnp.transpose(d, dperm)
-            merged.setdefault(new_shape, []).append((new_q, new_d))
-        shapes, qdatas, data = [], [], []
+            merged.setdefault(new_shape, []).append((new_q, s))
+        shapes, qdatas = [], []
+        out_channels = [[] for _ in self.channels()]
         for shape in sorted(merged):
             qs = np.concatenate([x[0] for x in merged[shape]], axis=0)
-            ds = merged[shape][0][1] if len(merged[shape]) == 1 else \
-                jnp.concatenate([x[1] for x in merged[shape]], axis=0)
             order = np.lexsort(qs.T[::-1])
-            if not np.array_equal(order, np.arange(len(order))):
+            trivial_order = np.array_equal(order, np.arange(len(order)))
+            if not trivial_order:
                 qs = qs[order]
-                ds = ds[np.asarray(order)]
             qs.setflags(write=False)
             shapes.append(shape)
             qdatas.append(qs)
-            data.append(ds)
-        return PackedArray(legs, self.qtotal, labels, shapes, qdatas, data,
-                           self.dtype)
+            for ch, out in zip(self.channels(), out_channels):
+                parts = [jnp.transpose(ch[s], dperm)
+                         for _, s in merged[shape]]
+                ds = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                      axis=0)
+                if not trivial_order:
+                    ds = ds[np.asarray(order)]
+                out.append(ds)
+        return PackedArray(legs, self.qtotal, labels, shapes, qdatas,
+                           out_channels[0], self.dtype,
+                           out_channels[1] if len(out_channels) > 1 else None)
 
     def conj(self):
         """Complex conjugate; flips leg qconj and star-flips labels."""
@@ -147,6 +170,10 @@ class PackedArray:
         chinfo = self.legs[0].chinfo
         qtotal = tuple(int(x) for x in
                        chinfo.make_valid(-np.asarray(self.qtotal, QTYPE)))
+        if self.data_im is not None:
+            return PackedArray(legs, qtotal, labels, self.shapes, self.qdatas,
+                               self.data, self.dtype,
+                               [-d for d in self.data_im])
         data = [jnp.conj(d) for d in self.data]
         return PackedArray(legs, qtotal, labels, self.shapes, self.qdatas,
                            data, self.dtype)
@@ -158,40 +185,77 @@ class PackedArray:
                 and all(np.array_equal(p, q)
                         for p, q in zip(self.qdatas, other.qdatas)))
 
+    def _binary(self, other, op):
+        assert self._same_struct(other), "PackedArray structure mismatch"
+        re = [op(x, y) for x, y in zip(self.data, other.data)]
+        if not (self.iscomplex or other.iscomplex):
+            return self._with_data(re)
+        # real operand promotes to a zero im channel
+        im_a = self.data_im or [jnp.zeros_like(x) for x in self.data]
+        im_b = other.data_im or [jnp.zeros_like(x) for x in other.data]
+        im = [op(x, y) for x, y in zip(im_a, im_b)]
+        dtype = jnp.promote_types(self.dtype, other.dtype)
+        return PackedArray(self.legs, self.qtotal, self._labels, self.shapes,
+                           self.qdatas, re, dtype, im)
+
     def __add__(self, other):
         if isinstance(other, PackedArray):
-            assert self._same_struct(other), "PackedArray structure mismatch"
-            data = [x + y for x, y in zip(self.data, other.data)]
-            return self._with_data(data)
+            return self._binary(other, lambda x, y: x + y)
         return NotImplemented
 
     def __sub__(self, other):
         if isinstance(other, PackedArray):
-            assert self._same_struct(other), "PackedArray structure mismatch"
-            data = [x - y for x, y in zip(self.data, other.data)]
-            return self._with_data(data)
+            return self._binary(other, lambda x, y: x - y)
         return NotImplemented
 
     def __mul__(self, scalar):
+        if self.data_im is not None:
+            # complex channels x (possibly traced) scalar; complex scalars
+            # mix the channels
+            if isinstance(scalar, complex) and scalar.imag != 0:
+                sr, si = scalar.real, scalar.imag
+                re = [dr * sr - di * si
+                      for dr, di in zip(self.data, self.data_im)]
+                im = [dr * si + di * sr
+                      for dr, di in zip(self.data, self.data_im)]
+                return PackedArray(self.legs, self.qtotal, self._labels,
+                                   self.shapes, self.qdatas, re, self.dtype,
+                                   im)
+            return PackedArray(self.legs, self.qtotal, self._labels,
+                               self.shapes, self.qdatas,
+                               [d * scalar for d in self.data], self.dtype,
+                               [d * scalar for d in self.data_im])
         return self._with_data([d * scalar for d in self.data])
 
     __rmul__ = __mul__
 
-    def _with_data(self, data):
+    def _with_data(self, data, data_im=None):
+        assert not (self.iscomplex and data_im is None), \
+            "_with_data on a complex PackedArray must supply both channels"
+        if data_im is not None:
+            dtype = jnp.promote_types(self.dtype, jnp.complex64) \
+                if not jnp.issubdtype(self.dtype, jnp.complexfloating) \
+                else self.dtype
+        elif self.data_im is not None:
+            dtype = self.dtype
+        else:
+            dtype = data[0].dtype if data else self.dtype
         return PackedArray(self.legs, self.qtotal, self._labels, self.shapes,
-                           self.qdatas, data, data[0].dtype if data else
-                           self.dtype)
+                           self.qdatas, data, dtype, data_im)
 
 
 def _packed_flatten(p: PackedArray):
     aux = (p.legs, p.qtotal, p._labels, p.shapes,
            tuple(q.tobytes() for q in p.qdatas),
-           tuple(q.shape for q in p.qdatas), str(p.dtype))
-    return list(p.data), aux
+           tuple(q.shape for q in p.qdatas), str(p.dtype),
+           p.data_im is not None)
+    children = list(p.data) + (list(p.data_im) if p.data_im is not None
+                               else [])
+    return children, aux
 
 
 def _packed_unflatten(aux, children):
-    legs, qtotal, labels, shapes, qbytes, qshapes, dtype = aux
+    legs, qtotal, labels, shapes, qbytes, qshapes, dtype, iscomplex = aux
     qdatas = []
     for b, s in zip(qbytes, qshapes):
         q = np.frombuffer(b, QTYPE).reshape(s).copy()
@@ -203,7 +267,14 @@ def _packed_unflatten(aux, children):
     res._labels = labels
     res.shapes = shapes
     res.qdatas = tuple(qdatas)
-    res.data = list(children)
+    children = list(children)
+    if iscomplex:
+        n = len(children) // 2
+        res.data = children[:n]
+        res.data_im = children[n:]
+    else:
+        res.data = children
+        res.data_im = None
     res.dtype = jnp.dtype(dtype)
     return res
 
@@ -293,6 +364,9 @@ def pack(a, multiple=64, pad=True, complete=True, pad_labels=None):
         for i, row in enumerate(q):
             pos[tuple(int(x) for x in row)] = (s, i)
     np_dtype = np.dtype(str(a.dtype))
+    iscomplex = np.issubdtype(np_dtype, np.complexfloating)
+    real_dtype = np.dtype(np_dtype.char.replace('D', 'd').replace('F', 'f')) \
+        if iscomplex else np_dtype
     bufs = [np.zeros((q.shape[0],) + shape, np_dtype)
             for shape, q in zip(shapes, qdatas)]
     for row, block in zip(a._qdata, a._data):
@@ -302,6 +376,15 @@ def pack(a, multiple=64, pad=True, complete=True, pad_labels=None):
         s, i = pos[key]
         block = np.asarray(block)
         bufs[s][(i,) + tuple(slice(0, d) for d in block.shape)] = block
+    if iscomplex:
+        # TPU backends have no complex128: split into re/im f64 channels
+        # (one flat transfer for both)
+        re = [np.ascontiguousarray(b.real) for b in bufs]
+        im = [np.ascontiguousarray(b.imag) for b in bufs]
+        chans = _transfer_packed(re + im, real_dtype)
+        n = len(bufs)
+        return PackedArray(legs, qtotal, tuple(a.get_leg_labels()), shapes,
+                           qdatas, chans[:n], a.dtype, chans[n:])
     data = _transfer_packed(bufs, np_dtype)
     return PackedArray(legs, qtotal, tuple(a.get_leg_labels()), shapes,
                        qdatas, data, a.dtype)
@@ -421,6 +504,10 @@ def unpack(p, orig_legs=None, purge=True):
     # ONE device->host transfer (cf. pack), serialized (see transfer_guard)
     with _TRANSFER_LOCK:
         host_data = jax.device_get(list(p.data))
+        if p.data_im is not None:
+            host_im = jax.device_get(list(p.data_im))
+            host_data = [np.asarray(r) + 1j * np.asarray(i)
+                         for r, i in zip(host_data, host_im)]
     rows = []
     blocks = []
     for shape, q, d in zip(p.shapes, p.qdatas, host_data):
@@ -441,6 +528,49 @@ def unpack(p, orig_legs=None, purge=True):
 # ----------------------------------------------------------------- tensordot
 _PACKED_PLAN_CACHE = {}
 _PACKED_MESH = None
+_MATMUL_MODE = None
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def matmul_mode(mode):
+    """Trace-time switch: run f64 bucket GEMMs in reduced precision.
+
+    Inside the context, :func:`tensordot` on float64 operands casts the GEMM
+    inputs down and casts the product back to f64 (all accumulation *across*
+    blocks — segment-sum / scatter-add — stays f64):
+
+    ``'f32'``
+        float32 inputs at ``Precision.HIGHEST`` (bf16x6 MXU passes):
+        ~2e-7 relative GEMM error, measured ~13x the f64-emulation
+        throughput at DMRG sizes (BENCH_TPU_PROBE.json).
+    ``'bf16'``
+        float32 inputs at default precision (single bf16 pass): ~3e-3
+        relative error, ~50x throughput — for early chi-ramp sweeps only.
+    ``None``
+        no-op (native f64).
+
+    This is the accuracy/effort dial of the device matvec: DMRG's variational
+    energy is quadratic in the state error, so Lanczos *iterations* tolerate
+    reduced-precision matvecs while the energy itself is evaluated in f64
+    (see ``matvec_mode`` in
+    :func:`~tenpy_tpu.algorithms.mps_common.lanczos_K_2site_packed` and the
+    ``polish_sweeps`` of
+    :class:`~tenpy_tpu.algorithms.packed_dmrg.DeviceSweepEngine`).
+
+    Takes effect at trace time (like :func:`set_packed_mesh`): wrap the
+    *tracing* call of a jitted function; the compiled executable keeps the
+    reduced-precision program.
+    """
+    global _MATMUL_MODE
+    old = _MATMUL_MODE
+    _MATMUL_MODE = mode
+    try:
+        yield
+    finally:
+        _MATMUL_MODE = old
 
 
 def set_packed_mesh(mesh):
@@ -550,40 +680,96 @@ def tensordot(a, b, axes):
         la.test_contractible(lb)
     plan = _packed_plan(at, bt, n_axes)
     dtype = jnp.result_type(at.dtype, bt.dtype)
-    out_data = [jnp.zeros((nsz,) + shape, dtype)
-                for nsz, shape in zip(plan.out_sizes, plan.out_shapes)]
+    iscomplex = at.iscomplex or bt.iscomplex
+    buf_dtype = jnp.zeros((), dtype).real.dtype if iscomplex else dtype
+
+    def _mm(am, bm):
+        """One bucket GEMM (real buffers), honoring the precision mode."""
+        if _MATMUL_MODE is not None and buf_dtype == jnp.float64:
+            prec = (jax.lax.Precision.HIGHEST if _MATMUL_MODE == 'f32'
+                    else jax.lax.Precision.DEFAULT)
+            return jnp.matmul(am.astype(jnp.float32), bm.astype(jnp.float32),
+                              precision=prec).astype(buf_dtype)
+        return jnp.matmul(am, bm)
+
+    n_chan = 2 if iscomplex else 1
+    out_chans = [[jnp.zeros((nsz,) + shape, buf_dtype)
+                  for nsz, shape in zip(plan.out_sizes, plan.out_shapes)]
+                 for _ in range(n_chan)]
     for (sa, sb, so, (m, kk, n), a_pos, b_pos, o_uniq, o_inv) in plan.groups:
         B = len(a_pos)
-        am = at.data[sa]
-        bm = bt.data[sb]
-        if B != am.shape[0]:
-            am = am[jnp.asarray(a_pos)]
-        elif not np.array_equal(a_pos, np.arange(B)):
-            am = am[jnp.asarray(a_pos)]
-        if B != bm.shape[0] or not np.array_equal(b_pos, np.arange(B)):
-            bm = bm[jnp.asarray(b_pos)]
-        am = am.reshape(B, m, kk).astype(dtype)
-        bm = bm.reshape(B, kk, n).astype(dtype)
-        if _PACKED_MESH is not None:
-            # multi-chip: shard every GEMM bucket's batch dimension over the
-            # mesh (GSPMD inserts the collectives); SURVEY §5.8 design
-            from jax.sharding import NamedSharding, PartitionSpec
-            axis = _PACKED_MESH.axis_names[0]
-            spec = NamedSharding(_PACKED_MESH,
-                                 PartitionSpec(axis if B % _PACKED_MESH.size
-                                               == 0 else None, None, None))
-            am = jax.lax.with_sharding_constraint(am, spec)
-            bm = jax.lax.with_sharding_constraint(bm, spec)
-        c = jnp.matmul(am, bm)
-        if len(o_uniq) < B:
-            c = jax.ops.segment_sum(c, jnp.asarray(o_inv),
-                                    num_segments=len(o_uniq))
-        shape_o = plan.out_shapes[so]
-        c = c.reshape((c.shape[0],) + shape_o)
-        out_data[so] = out_data[so].at[jnp.asarray(o_uniq)].add(c)
+
+        def gather(buf, pos, new_shape):
+            if buf is None:
+                return None
+            if B != buf.shape[0] or not np.array_equal(pos, np.arange(B)):
+                buf = buf[jnp.asarray(pos)]
+            buf = buf.reshape(new_shape).astype(buf_dtype)
+            if _PACKED_MESH is not None:
+                # multi-chip: shard every GEMM bucket's batch dimension over
+                # the mesh (GSPMD inserts the collectives); SURVEY §5.8
+                from jax.sharding import NamedSharding, PartitionSpec
+                axis = _PACKED_MESH.axis_names[0]
+                spec = NamedSharding(
+                    _PACKED_MESH,
+                    PartitionSpec(axis if B % _PACKED_MESH.size == 0
+                                  else None, None, None))
+                buf = jax.lax.with_sharding_constraint(buf, spec)
+            return buf
+
+        ar = gather(at.data[sa], a_pos, (B, m, kk))
+        br = gather(bt.data[sb], b_pos, (B, kk, n))
+        ai = gather(at.data_im[sa], a_pos, (B, m, kk)) if at.iscomplex \
+            else None
+        bi = gather(bt.data_im[sb], b_pos, (B, kk, n)) if bt.iscomplex \
+            else None
+        if not iscomplex:
+            cs = [_mm(ar, br)]
+        elif ai is None:                     # real x complex: 2 GEMMs
+            cs = [_mm(ar, br), _mm(ar, bi)]
+        elif bi is None:                     # complex x real: 2 GEMMs
+            cs = [_mm(ar, br), _mm(ai, br)]
+        else:                                # complex x complex: Karatsuba,
+            t1 = _mm(ar, br)                 # 3 GEMMs instead of 4
+            t2 = _mm(ai, bi)
+            t3 = _mm(ar + ai, br + bi)
+            cs = [t1 - t2, t3 - t1 - t2]
+        for c, out_data in zip(cs, out_chans):
+            if len(o_uniq) < B:
+                c = jax.ops.segment_sum(c, jnp.asarray(o_inv),
+                                        num_segments=len(o_uniq))
+            shape_o = plan.out_shapes[so]
+            c = c.reshape((c.shape[0],) + shape_o)
+            out_data[so] = out_data[so].at[jnp.asarray(o_uniq)].add(c)
     labels = tuple(at._labels[:ka]) + tuple(bt._labels[n_axes:])
     return PackedArray(plan.out_legs, plan.out_qtotal, labels,
-                       plan.out_shapes, plan.out_qdatas, out_data, dtype)
+                       plan.out_shapes, plan.out_qdatas, out_chans[0], dtype,
+                       out_chans[1] if iscomplex else None)
+
+
+def inner_parts(a, b):
+    """(re, im) of the full element-wise contraction ``sum(a * b)``.
+
+    Legs paired in order, *no* implicit conjugation (conj the argument).
+    Real scalars even for complex inputs — the TPU has no complex128, so the
+    complex result is returned as its two parts.
+    """
+    for la, lb in zip(a.legs, b.legs):
+        la.test_contractible(lb)
+    assert a.shapes == b.shapes and \
+        all(np.array_equal(p, q) for p, q in zip(a.qdatas, b.qdatas)), \
+        "inner: block layout mismatch"
+    rdt = jnp.zeros((), a.dtype).real.dtype
+
+    def dot(xs, ys):
+        if xs is None or ys is None:
+            return jnp.zeros((), rdt)
+        return sum((jnp.sum(x * y) for x, y in zip(xs, ys)),
+                   jnp.zeros((), rdt))
+
+    re = dot(a.data, b.data) - dot(a.data_im, b.data_im)
+    im = dot(a.data, b.data_im) + dot(a.data_im, b.data)
+    return re, im
 
 
 def inner(a, b, do_conj=False):
@@ -592,28 +778,42 @@ def inner(a, b, do_conj=False):
     Requires matching block layouts (same shapes/qdata rows) — true for any
     pair built over mutually conjugate complete structures, e.g.
     ``inner(v.conj(), w)`` with ``v, w`` from the same contraction plan.
+    For complex inputs the result is a complex scalar — fine under CPU jit,
+    but complex scalars don't exist on TPU backends: use :func:`inner_parts`
+    (or :func:`inner_re`) in device code.
     """
     if do_conj:
         a = a.conj()
+    re, im = inner_parts(a, b)
+    if not (a.iscomplex or b.iscomplex):
+        return re
+    return re + 1j * im
+
+
+def inner_re(a, b):
+    """``Re <a|b>`` (with conjugation of `a`), pure real arithmetic.
+
+    ``Re sum(conj(a) b) = sum(a_re b_re) + sum(a_im b_im)`` — no channel
+    mixing, 2 reductions; safe on TPU for complex inputs.
+    """
     for la, lb in zip(a.legs, b.legs):
-        la.test_contractible(lb)
-    assert a.shapes == b.shapes and \
-        all(np.array_equal(p, q) for p, q in zip(a.qdatas, b.qdatas)), \
-        "inner: block layout mismatch"
-    total = None
-    for x, y in zip(a.data, b.data):
-        s = jnp.sum(x * y)
-        total = s if total is None else total + s
-    if total is None:
-        return jnp.zeros((), a.dtype)
-    return total
+        la.conj().test_contractible(lb)
+    rdt = jnp.zeros((), a.dtype).real.dtype
+    tot = sum((jnp.sum(x * y) for x, y in zip(a.data, b.data)),
+              jnp.zeros((), rdt))
+    if a.iscomplex and b.iscomplex:
+        tot = tot + sum((jnp.sum(x * y)
+                         for x, y in zip(a.data_im, b.data_im)),
+                        jnp.zeros((), rdt))
+    return tot
 
 
 def norm(a):
     total = None
-    for x in a.data:
-        s = jnp.sum(jnp.abs(x) ** 2)
-        total = s if total is None else total + s
+    for ch in a.channels():
+        for x in ch:
+            s = jnp.sum(jnp.abs(x) ** 2)
+            total = s if total is None else total + s
     if total is None:
         return jnp.zeros((), np.zeros((), np.dtype(str(a.dtype))).real.dtype)
     return jnp.sqrt(total)

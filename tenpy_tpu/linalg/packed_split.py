@@ -418,7 +418,60 @@ def _jacobi_schedule(n):
         np.maximum(sched[..., 0], sched[..., 1])
 
 
-def _decomp_jacobi(M, sweeps=14):
+# --------------------------------------------------- channelized complex ops
+# A "channel pair" is (X_re, X_im) with X_im None for real data — the split
+# re/im storage of :class:`~tenpy_tpu.linalg.packed.PackedArray` carried into
+# the decomposition kernels (TPU backends have no complex128).
+
+def _ch_map(fn, *chs):
+    """Apply `fn` channel-wise over channel pairs (None im stays None)."""
+    re = fn(*[c[0] for c in chs])
+    if all(c[1] is None for c in chs):
+        return (re, None)
+    ims = [c[1] if c[1] is not None else jnp.zeros_like(c[0]) for c in chs]
+    return (re, fn(*ims))
+
+
+def _ch_mm(a, b, conj_a=False, precision=None):
+    """Channelized (batched) matmul of channel pairs."""
+    ar, ai = a
+    br, bi = b
+    if conj_a and ai is not None:
+        ai = -ai
+    mm = lambda x, y: jnp.matmul(x, y, precision=precision)
+    if ai is None and bi is None:
+        return (mm(ar, br), None)
+    if ai is None:
+        return (mm(ar, br), mm(ar, bi))
+    if bi is None:
+        return (mm(ar, br), mm(ai, br))
+    t1 = mm(ar, br)
+    t2 = mm(ai, bi)
+    t3 = mm(ar + ai, br + bi)
+    return (t1 - t2, t3 - t1 - t2)
+
+
+def _ch_swapaxes(x, a, b):
+    return _ch_map(lambda t: jnp.swapaxes(t, a, b), x)
+
+
+def _ch_newton_schulz_orth(V, iters=2, precision=None):
+    """Re-orthonormalize a nearly-orthonormal (batch of) V: V <- 1.5V - 0.5 V(V^H V).
+
+    Quadratic: column-orthogonality error eps -> O(eps^2) per iteration.
+    Matmul-only, so it works on complex channel pairs on TPU (where QR
+    doesn't).  Used to clean up the f32-accumulated rotation matrix of the
+    ``jacobi32`` backend (~1e-5 drift -> f64 level in 2 iterations).
+    """
+    for _ in range(iters):
+        Vh = _ch_swapaxes((V[0], None if V[1] is None else -V[1]), -1, -2)
+        G = _ch_mm(Vh, V, precision=precision)           # V^H V
+        VG = _ch_mm(V, G, precision=precision)
+        V = _ch_map(lambda v, vg: 1.5 * v - 0.5 * vg, V, VG)
+    return V
+
+
+def _decomp_jacobi(M, sweeps=14, bulk_f32=False, M_im=None):
     """Batched SVD via one-sided Jacobi: the TPU-native decomposition.
 
     Orthogonalizes the *columns* of M with (n-1) parallel rounds of n/2
@@ -429,33 +482,62 @@ def _decomp_jacobi(M, sweeps=14):
     the workhorse for the device truncation: the stock jnp.linalg.svd/eigh
     lowerings on this TPU stack crash the compiler (f32), return NaN, or
     hang in non-convergent internal loops on padded rank-deficient inputs.
+
+    ``M_im`` turns on split-channel complex mode: unitary rotations with a
+    complex off-diagonal phase, all arithmetic on the two real channels.
+    Returns ``((U_re, U_im), S, (V_re, V_im))`` in that case (im parts None
+    for real input).
+
+    With ``bulk_f32`` most sweeps run in float32 (the TPU emulates f64 on the
+    vector units; f32 rounds are several times cheaper), then the accumulated
+    rotation V — Newton-Schulz re-orthonormalized in f64 — is applied to the
+    *original* f64 M in one (MXU) matmul and two f64 polish sweeps restore
+    pairwise orthogonality at the f64 level (Jacobi is self-correcting:
+    near convergence one sweep squares the off-diagonal residual).
     """
+    complex_in = M_im is not None
+    Mc = (M, M_im)
     swap = M.shape[-2] < M.shape[-1]
     if swap:
-        M = jnp.swapaxes(M, -1, -2)
-    B, R, C = M.shape
+        # SVD of M^H: one-sided Jacobi wants tall matrices
+        Mc = _ch_swapaxes((Mc[0], None if Mc[1] is None else -Mc[1]), -1, -2)
+    B, R, C = Mc[0].shape
     pad = C % 2
     if pad:
-        M = jnp.pad(M, ((0, 0), (0, 0), (0, 1)))
+        Mc = _ch_map(lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 1))), Mc)
         C += 1
     ps_, qs_ = _jacobi_schedule(C)
     ps_ = jnp.asarray(ps_)                       # (C-1, C//2)
     qs_ = jnp.asarray(qs_)
-    V0 = jnp.broadcast_to(jnp.eye(C, dtype=M.dtype), (B, C, C))
 
     def round_body(r, AV):
-        A, V = AV
+        (Ar, Ai, Vr, Vi) = AV
         p = ps_[r]
         q = qs_[r]
-        Ap = jnp.take(A, p, axis=2)              # (B, R, C//2)
-        Aq = jnp.take(A, q, axis=2)
-        app = jnp.sum(jnp.abs(Ap) ** 2, axis=1)  # (B, C//2)
-        aqq = jnp.sum(jnp.abs(Aq) ** 2, axis=1)
-        apq = jnp.sum(jnp.conj(Ap) * Aq, axis=1)
-        abs_apq = jnp.abs(apq)
-        # complex support: rotate q-column phase so the pair problem is real
-        phase = jnp.where(abs_apq > 0, apq / jnp.where(abs_apq > 0, abs_apq,
-                                                       1.), 1.)
+        take = lambda X: None if X is None else jnp.take(X, p, axis=2)
+        takeq = lambda X: None if X is None else jnp.take(X, q, axis=2)
+        Apr, Api = take(Ar), take(Ai)
+        Aqr, Aqi = takeq(Ar), takeq(Ai)
+        app = jnp.sum(Apr ** 2, axis=1)          # (B, C//2)
+        aqq = jnp.sum(Aqr ** 2, axis=1)
+        apq_re = jnp.sum(Apr * Aqr, axis=1)
+        if Ai is not None:
+            app = app + jnp.sum(Api ** 2, axis=1)
+            aqq = aqq + jnp.sum(Aqi ** 2, axis=1)
+            apq_re = apq_re + jnp.sum(Api * Aqi, axis=1)
+            apq_im = jnp.sum(Apr * Aqi - Api * Aqr, axis=1)  # conj(Ap).Aq
+            abs_apq = jnp.sqrt(apq_re ** 2 + apq_im ** 2)
+        else:
+            apq_im = None
+            abs_apq = jnp.abs(apq_re)
+        # complex: rotate the q-column phase so the 2x2 problem is real
+        denom = jnp.where(abs_apq > 0, abs_apq, 1.)
+        if apq_im is not None:
+            ph_re = jnp.where(abs_apq > 0, apq_re / denom, 1.)
+            ph_im = jnp.where(abs_apq > 0, apq_im / denom, 0.)
+        else:
+            ph_re = jnp.where(abs_apq > 0, apq_re / denom, 1.)
+            ph_im = None
         tiny = abs_apq <= 1e-300 + 1e-18 * jnp.sqrt(app * aqq)
         tau = (aqq - app) / jnp.where(tiny, 1., 2. * abs_apq)
         # clamp: tau -> inf as the pair converges, and inf arithmetic breaks
@@ -467,39 +549,97 @@ def _decomp_jacobi(M, sweeps=14):
         sgn = jnp.where(tau >= 0., 1., -1.)
         t = sgn / (jnp.abs(tau) + jnp.sqrt(1. + tau ** 2))
         t = jnp.where(tiny, 0., t)
-        c = 1. / jnp.sqrt(1. + t ** 2)
-        s = (t * c).astype(M.dtype) * phase
-        c = c.astype(M.dtype)
+        c = (1. / jnp.sqrt(1. + t ** 2)).astype(Ar.dtype)
+        tc = (t * c).astype(Ar.dtype)
+        # s = t*c * phase (complex); columns rotate by [[c, -conj(s)],[s, c]]
+        sr = tc * ph_re
+        si = None if ph_im is None else tc * ph_im
+        cb = c[:, None, :]
+        srb = sr[:, None, :]
+        sib = None if si is None else si[:, None, :]
 
-        def rot(X, Xp, Xq):
-            new_p = c[:, None, :] * Xp - jnp.conj(s)[:, None, :] * Xq
-            new_q = s[:, None, :] * Xp + c[:, None, :] * Xq
-            X = _scatter_cols(X, p, new_p)
-            return _scatter_cols(X, q, new_q)
+        def rot(Xr, Xi):
+            Xpr, Xpi = ((None if Xr is None else jnp.take(Xr, p, axis=2)),
+                        (None if Xi is None else jnp.take(Xi, p, axis=2)))
+            Xqr, Xqi = ((None if Xr is None else jnp.take(Xr, q, axis=2)),
+                        (None if Xi is None else jnp.take(Xi, q, axis=2)))
+            if sib is None:
+                np_r = cb * Xpr - srb * Xqr
+                nq_r = srb * Xpr + cb * Xqr
+                Xr = _scatter_cols(_scatter_cols(Xr, p, np_r), q, nq_r)
+                if Xi is not None:
+                    np_i = cb * Xpi - srb * Xqi
+                    nq_i = srb * Xpi + cb * Xqi
+                    Xi = _scatter_cols(_scatter_cols(Xi, p, np_i), q, nq_i)
+                return Xr, Xi
+            # complex rotation: new_p = c Xp - conj(s) Xq; new_q = s Xp + c Xq
+            np_r = cb * Xpr - (srb * Xqr + sib * Xqi)
+            np_i = cb * Xpi - (srb * Xqi - sib * Xqr)
+            nq_r = srb * Xpr - sib * Xpi + cb * Xqr
+            nq_i = srb * Xpi + sib * Xpr + cb * Xqi
+            Xr = _scatter_cols(_scatter_cols(Xr, p, np_r), q, nq_r)
+            Xi = _scatter_cols(_scatter_cols(Xi, p, np_i), q, nq_i)
+            return Xr, Xi
 
-        A = rot(A, Ap, Aq)
-        Vp = jnp.take(V, p, axis=2)
-        Vq = jnp.take(V, q, axis=2)
-        V = rot(V, Vp, Vq)
-        return (A, V)
+        Ar, Ai = rot(Ar, Ai)
+        Vr, Vi = rot(Vr, Vi)
+        return (Ar, Ai, Vr, Vi)
 
-    def sweep_body(_, AV):
-        return jax.lax.fori_loop(0, C - 1, round_body, AV)
+    use_im = complex_in
 
-    A, V = jax.lax.fori_loop(0, sweeps, sweep_body, (M, V0))
-    S = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=1))          # (B, C)
+    def run_sweeps(A, V, n):
+        Ai = A[1] if A[1] is not None else (jnp.zeros_like(A[0]) if use_im
+                                            else None)
+        Vi = V[1] if V[1] is not None else (jnp.zeros_like(V[0]) if use_im
+                                            else None)
+        st = (A[0], Ai, V[0], Vi)
+
+        def sweep_body(_, st):
+            return jax.lax.fori_loop(0, C - 1, round_body, st)
+
+        Ar, Ai, Vr, Vi = jax.lax.fori_loop(0, n, sweep_body, st)
+        return (Ar, Ai), (Vr, Vi)
+
+    eye = jnp.broadcast_to(jnp.eye(C, dtype=Mc[0].dtype), (B, C, C))
+    if bulk_f32 and Mc[0].dtype == jnp.float64:
+        M32 = _ch_map(lambda t: t.astype(jnp.float32), Mc)
+        eye32 = jnp.broadcast_to(jnp.eye(C, dtype=jnp.float32), (B, C, C))
+        _, V32 = run_sweeps(M32, (eye32, None), max(sweeps - 2, 1))
+        # f32 rotation roundoff accumulates over thousands of rounds (~1e-5
+        # orthogonality drift); Newton-Schulz in f64 cleans it up with
+        # matmuls only (QR has no complex TPU path)
+        V = _ch_map(lambda t: t.astype(jnp.float64), V32)
+        V = _ch_newton_schulz_orth(V, iters=2,
+                                   precision=jax.lax.Precision.HIGHEST)
+        A = _ch_mm(Mc, V, precision=jax.lax.Precision.HIGHEST)
+        A, V = run_sweeps(A, V, 2)
+    else:
+        A, V = run_sweeps(Mc, (eye, None), sweeps)
+
+    S = jnp.sum(A[0] ** 2, axis=1)
+    if A[1] is not None:
+        S = S + jnp.sum(A[1] ** 2, axis=1)
+    S = jnp.sqrt(S)                                          # (B, C)
     order = jnp.argsort(-S, axis=-1)
     S = jnp.take_along_axis(S, order, -1)
-    A = jnp.take_along_axis(A, order[:, None, :], -1)
-    V = jnp.take_along_axis(V, order[:, None, :], -1)
+    reorder = lambda X: None if X is None else \
+        jnp.take_along_axis(X, order[:, None, :], -1)
+    A = (reorder(A[0]), reorder(A[1]))
+    V = (reorder(V[0]), reorder(V[1]))
     good = S > 0
-    U = A * jnp.where(good, 1. / jnp.where(good, S, 1.), 0.)[:, None, :]
+    inv = jnp.where(good, 1. / jnp.where(good, S, 1.), 0.)[:, None, :]
+    U = _ch_map(lambda t: t * inv, A)
     K = min(R, C - pad)
-    U = U[:, :, :K]
+    cut_u = lambda X: None if X is None else X[:, :, :K]
+    cut_v = lambda X: None if X is None else X[:, :C - pad, :K]
+    U = (cut_u(U[0]), cut_u(U[1]))
     S = S[:, :K]
-    V = V[:, :C - pad, :K]     # drop the padded column's row slot (zeros)
+    V = (cut_v(V[0]), cut_v(V[1]))
     if swap:
-        return V, S, U
+        # we decomposed W^H = U S V^H  =>  W = V S U^H: U and V swap roles
+        U, V = V, U
+    if not complex_in:
+        return U[0], S, V[0]
     return U, S, V
 
 
@@ -555,11 +695,25 @@ def _decomp_qr_eigh(M, f32_seed=False):
         return U, S, V
 
 
-def _decomp(M, backend):
+def _decomp(M, backend, M_im=None):
+    if M_im is not None:
+        # split-channel complex input -> ((U_re, U_im), S, (V_re, V_im))
+        if backend == 'svd':
+            # CPU fallback: recombine to complex128 (fine off-TPU)
+            U, S, V = _decomp_svd(M + 1j * M_im)
+            return (U.real, U.imag), S, (V.real, V.imag)
+        if backend in ('jacobi', 'jacobi32'):
+            return _decomp_jacobi(M, bulk_f32=(backend == 'jacobi32'),
+                                  M_im=M_im)
+        raise NotImplementedError(
+            f"device-SVD backend {backend!r} has no complex path; "
+            "use 'jacobi'/'jacobi32' (TPU) or 'svd' (CPU)")
     if backend == 'svd':
         return _decomp_svd(M)
     if backend == 'jacobi':
         return _decomp_jacobi(M)
+    if backend == 'jacobi32':
+        return _decomp_jacobi(M, bulk_f32=True)
     if backend == 'qr_eigh':
         return _decomp_qr_eigh(M, f32_seed=False)
     if backend == 'qr_eigh32':
@@ -597,7 +751,7 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
         (zeros on dropped/padding entries)
     B : PackedArray (vL, p, vR) right-isometric
     err : truncation error (sum of discarded p), scalar
-    renorm : sqrt(sum kept S^2) * |theta| — the norm factor removed
+    renorm : sqrt(sum kept S^2) of the raw theta — the norm factor removed
     n_kept : number of kept Schmidt values, scalar int
     """
     backend = _resolve_backend(backend)
@@ -606,14 +760,21 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
         theta_p = theta_p.transpose(order)
     dtype = theta_p.dtype
     real = jnp.zeros((), dtype).real.dtype
-    flat = jnp.concatenate([d.reshape(-1) for d in theta_p.data]
-                           + [jnp.zeros(1, dtype)])   # zero slot (see plan)
+    iscomplex = theta_p.iscomplex
+    chans = theta_p.channels()
+    flats = [jnp.concatenate([d.reshape(-1) for d in ch]
+                             + [jnp.zeros(1, real)])    # zero slot (see plan)
+             for ch in chans]
 
     Us, Ss, Vs = [], [], []
     for g in plan.groups:
-        M = jnp.take(flat, jnp.asarray(g.idx.reshape(-1)),
-                     mode='clip').reshape(g.N, g.R, g.C)
-        U, S, V = _decomp(M, backend)
+        Ms = [jnp.take(f, jnp.asarray(g.idx.reshape(-1)),
+                       mode='clip').reshape(g.N, g.R, g.C) for f in flats]
+        if iscomplex:
+            U, S, V = _decomp(Ms[0], backend, M_im=Ms[1])
+        else:
+            U, S, V = _decomp(Ms[0], backend)
+            U, V = (U, None), (V, None)
         Us.append(U)
         Ss.append(jnp.where(jnp.asarray(g.cap_mask), S.astype(real), 0.))
         Vs.append(V)
@@ -622,7 +783,7 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
     # full norm of theta (not just the layout's sectors): weight in bond
     # sectors outside the fixed capacity layout is *discarded* by the split
     # and must show up in err/renorm
-    tot = sum(jnp.sum(jnp.abs(d.reshape(-1)) ** 2) for d in theta_p.data)
+    tot = sum(jnp.sum(d.reshape(-1) ** 2) for ch in chans for d in ch)
     nrm = jnp.sqrt(tot)
     # global top-chi threshold
     k = min(int(chi_max), allS.shape[0])
@@ -637,31 +798,43 @@ def split_truncate(theta_p, plan, chi_max, svd_min=1e-14, backend=None):
     err = jnp.maximum(0., 1. - kept / tot)
     renorm = jnp.sqrt(kept)
 
-    zslot = [jnp.zeros(1, dtype)]
-    flatU = jnp.concatenate([
-        (U * m[:, None, :].astype(U.dtype)).reshape(-1)
-        for U, m in zip(Us, masks)] + zslot)
-    flatV = jnp.concatenate([
-        (V * m[:, None, :].astype(V.dtype)).reshape(-1)
-        for V, m in zip(Vs, masks)] + zslot)
+    zslot = [jnp.zeros(1, real)]
+    n_chan = 2 if iscomplex else 1
+
+    def masked_flat(Xs, ci):
+        return jnp.concatenate([
+            (X[ci] * m[:, None, :].astype(real)).reshape(-1)
+            for X, m in zip(Xs, masks)] + zslot)
+
+    flatU = [masked_flat(Us, ci) for ci in range(n_chan)]
+    flatV = [masked_flat(Vs, ci) for ci in range(n_chan)]
     flatS = jnp.concatenate([
         (S * m / renorm).reshape(-1) for S, m in zip(Ss, masks)]
         + [jnp.zeros(1, real)])
 
     A_legs, qtot_A, A_shapes, A_qdatas = plan.A_struct
-    A_data = [jnp.take(flatU, jnp.asarray(ii.reshape(-1)), mode='clip')
-              .reshape((qd.shape[0],) + shape)
-              for ii, shape, qd in zip(plan.A_idx, A_shapes, A_qdatas)]
+
+    def assemble(flat_ch, idx_list, shapes, qdatas, negate=False):
+        out = []
+        for ii, shape, qd in zip(idx_list, shapes, qdatas):
+            d = jnp.take(flat_ch, jnp.asarray(ii.reshape(-1)),
+                         mode='clip').reshape((qd.shape[0],) + shape)
+            out.append(-d if negate else d)
+        return out
+
+    A_chan = [assemble(f, plan.A_idx, A_shapes, A_qdatas) for f in flatU]
     A = pk.PackedArray(A_legs, qtot_A, ('vL', 'p', 'vR'), A_shapes, A_qdatas,
-                       A_data, dtype)
+                       A_chan[0], dtype, A_chan[1] if iscomplex else None)
     B_legs, qtot_B, B_shapes, B_qdatas = plan.B_struct
-    B_data = [jnp.conj(jnp.take(flatV, jnp.asarray(ii.reshape(-1)),
-                                mode='clip')).reshape((qd.shape[0],) + shape)
-              for ii, shape, qd in zip(plan.B_idx, B_shapes, B_qdatas)]
+    # B = V^H: conjugate at assembly (negate the im channel)
+    B_chan = [assemble(f, plan.B_idx, B_shapes, B_qdatas, negate=(ci == 1))
+              for ci, f in enumerate(flatV)]
     B = pk.PackedArray(B_legs, qtot_B, ('vL', 'p', 'vR'), B_shapes, B_qdatas,
-                       B_data, dtype)
+                       B_chan[0], dtype, B_chan[1] if iscomplex else None)
     S_flat = jnp.take(flatS, jnp.asarray(plan.S_idx), mode='clip')
-    return A, S_flat, B, err, renorm * nrm, n_kept
+    # renorm = |kept part of theta| (S entries are raw singular values of the
+    # unnormalized theta, so sqrt(kept) already carries |theta|)
+    return A, S_flat, B, err, renorm, n_kept
 
 
 # ---------------------------------------------------- bond-S scaling (guess)
@@ -704,12 +877,19 @@ def scale_bond_plan(p, axis):
 
 
 def scale_bond(p, S_flat, plan):
-    """Multiply packed ``p`` by bond values ``S_flat`` along the planned axis."""
+    """Multiply packed ``p`` by (real) bond values ``S_flat`` along the
+    planned axis; complex channels scale independently."""
     axis, idx = plan
-    data = []
-    for d, ii in zip(p.data, idx):
-        s = jnp.take(S_flat, jnp.asarray(ii), mode='clip')  # (N, d_axis)
-        shape = [d.shape[0]] + [1] * (d.ndim - 1)
-        shape[1 + axis] = d.shape[1 + axis]
-        data.append(d * s.reshape(shape).astype(d.dtype))
-    return p._with_data(data)
+
+    def scale(ch):
+        out = []
+        for d, ii in zip(ch, idx):
+            s = jnp.take(S_flat, jnp.asarray(ii), mode='clip')  # (N, d_axis)
+            shape = [d.shape[0]] + [1] * (d.ndim - 1)
+            shape[1 + axis] = d.shape[1 + axis]
+            out.append(d * s.reshape(shape).astype(d.dtype))
+        return out
+
+    if p.iscomplex:
+        return p._with_data(scale(p.data), scale(p.data_im))
+    return p._with_data(scale(p.data))

@@ -34,7 +34,8 @@ def _ramped_state(L=8, chi=24, sweeps=3, bc='finite', S=1):
     return m, psi, E
 
 
-@pytest.mark.parametrize('backend', ['svd', 'jacobi', 'qr_eigh', 'qr_eigh32'])
+@pytest.mark.parametrize('backend', ['svd', 'jacobi', 'jacobi32', 'qr_eigh',
+                                     'qr_eigh32'])
 def test_split_truncate_vs_svd_theta(backend):
     m, psi, _ = _ramped_state()
     i0 = 3
@@ -56,7 +57,8 @@ def test_split_truncate_vs_svd_theta(backend):
     A, Sf, B, err_p, renorm_p, n_kept = ps.split_truncate(
         theta_p, plan, chi_max=20, svd_min=1e-10, backend=backend)
     Sf = np.asarray(Sf)
-    tol = {'qr_eigh32': 1e-5, 'jacobi': 1e-9}.get(backend, 1e-10)
+    tol = {'qr_eigh32': 1e-5, 'jacobi': 1e-9, 'jacobi32': 1e-9}.get(backend,
+                                                                    1e-10)
     assert int(n_kept) == len(S)
     s_dev = np.sort(Sf[Sf > 0])[::-1]
     assert np.allclose(np.sort(np.asarray(S))[::-1], s_dev, atol=tol)
@@ -139,6 +141,64 @@ def test_device_sweep_finite():
     E_state = float(np.real(MPOEnvironment(psi, m.H_MPO, psi)
                             .full_contraction(4)))
     assert abs(E_state - E_ref) < 1e-10
+
+
+def test_device_sweep_mixed_precision():
+    """f32-GEMM Lanczos sweeps + one f64 polish sweep must land on the f64
+    engine's energy: the variational energy is quadratic in the state error,
+    and the polish sweep re-solves every site in full precision."""
+    m, psi, _ = _ramped_state(L=8, chi=96, sweeps=3)
+    psi_ref = psi.copy()
+    eng = dmrg.TwoSiteDMRGEngine(psi_ref, m, {
+        'trunc_params': {'chi_max': 96, 'svd_min': 1e-12}, 'max_sweeps': 25})
+    E_ref, _ = eng.run()
+
+    dev = DeviceSweepEngine(psi, m, {'chi_max': 96, 'svd_min': 1e-12,
+                                     'lanczos_K': 10, 'n_sweeps': 6,
+                                     'multiple': 16, 'matvec_mode': 'f32',
+                                     'polish_sweeps': 1,
+                                     'backend': 'jacobi32'})
+    E_dev, psi = dev.run()
+    assert dev.sweep_stats['mode'] == ['f32'] * 5 + ['f64']
+    # mixed sweeps track the energy at the f32 level already
+    assert abs(dev.sweep_stats['E'][-2] - E_ref) < 1e-5
+    # the polish sweep restores full f64 agreement
+    assert abs(E_dev - E_ref) < 1e-10
+    psi.test_sanity()
+
+
+def test_lanczos_exact_E_rayleigh():
+    """exact_E: E0 is the f64 Rayleigh quotient even with f32 iterations."""
+    from tenpy_tpu.algorithms.mps_common import (
+        _lanczos_K_2site_packed_impl, _matvec_2site_packed)
+    m, psi, _ = _ramped_state(L=8, chi=24, sweeps=3)
+    i0 = 3
+    from tenpy_tpu.networks.mpo import MPOEnvironment
+    env = MPOEnvironment(psi, m.H_MPO, psi)
+    LP = env.get_LP(i0).transpose(['vR*', 'wR', 'vR'])
+    RP = env.get_RP(i0 + 1).transpose(['wL', 'vL', 'vL*'])
+    W0 = m.H_MPO.get_W(i0).transpose(['wL', 'wR', 'p', 'p*'])
+    W1 = m.H_MPO.get_W(i0 + 1).transpose(['wL', 'wR', 'p', 'p*'])
+    theta = psi.get_theta(i0, 2).itranspose(['vL', 'p0', 'p1', 'vR'])
+    VIRT = ('vL', 'vR', 'vL*', 'vR*')
+    LPp = pk.pack(LP, multiple=16, pad_labels=VIRT)
+    RPp = pk.pack(RP, multiple=16, pad_labels=VIRT)
+    W0p = pk.pack(W0, pad=False).replace_labels(['p', 'p*'], ['p0', 'p0*'])
+    W1p = pk.pack(W1, pad=False).replace_labels(['p', 'p*'], ['p1', 'p1*'])
+    thp = pk.pack(theta, multiple=16, pad_labels=VIRT)
+
+    E64, th64, _, _ = _lanczos_K_2site_packed_impl(
+        LPp, RPp, W0p, W1p, thp, 10)
+    E32, th32, _, _ = _lanczos_K_2site_packed_impl(
+        LPp, RPp, W0p, W1p, thp, 10, matvec_mode='f32', exact_E=True)
+    # Rayleigh quotient of the f32-iterated Ritz vector: variational (>= E64
+    # up to f64 noise) and quadratically close
+    assert float(E32) >= float(E64) - 1e-12
+    assert abs(float(E32) - float(E64)) < 1e-8
+    # and it must equal the directly-computed f64 quotient of its own vector
+    hw = _matvec_2site_packed(LPp, RPp, W0p, W1p, th32)
+    E_check = float(np.real(np.asarray(pk.inner(th32.conj(), hw))))
+    assert abs(float(E32) - E_check) < 1e-12
 
 
 @pytest.mark.slow
