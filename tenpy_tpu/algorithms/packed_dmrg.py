@@ -70,6 +70,93 @@ def _env_update_R(RP, B, W):
     return x.transpose(['wL', 'vL', 'vL*'])
 
 
+def capacity_bond_layouts(psi, chi_max, multiple, cap_factor=1.3,
+                          total_cap_factor=1.5, finite=None):
+    """Fixed padded capacity bond layouts for a device-resident engine.
+
+    ``bond[i]`` is the (qconj=+1) vL leg of site ``i`` padded to bucket
+    multiples; interior bonds are widened to every one-update-reachable
+    charge sector with per-sector capacity grown by ``cap_factor`` and the
+    total capacity budgeted to ``total_cap_factor * chi_max`` (many-sector
+    U(1)^2 layouts explode otherwise).  Shared by
+    :class:`DeviceSweepEngine` and
+    :class:`~tenpy_tpu.algorithms.packed_tebd.DeviceTEBDEngine`.
+
+    Returns ``(bond, psi_leg)``: the capacity layouts and the unpadded legs.
+    """
+    L = psi.L
+    if finite is None:
+        finite = psi.bc == 'finite'
+    n_bonds = L + 1 if finite else L
+
+    def _bond(i, bond_list):
+        return bond_list[i if finite else i % L]
+
+    bond = []
+    psi_leg = []
+    for i in range(n_bonds):
+        if finite and i == L:
+            leg = psi.get_B(L - 1, 'B').get_leg('vR').conj()
+        else:
+            leg = psi.get_B(i % L, 'B').get_leg('vL')
+        if leg.qconj != 1:
+            leg = leg.conj()
+        psi_leg.append(leg)
+        bond.append(pad_leg(leg, multiple)[0])
+    qtot = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
+    chinfo = psi_leg[0].chinfo
+    interior = (list(range(1, L)) if finite else list(range(1, L)) + [0])
+    # two passes: capacities are clipped by min(rows, cols) computed from
+    # the *neighbor* layouts, so neighbors must be widened first for a
+    # growth-capable (chi-ramp) layout
+    for i in interior + interior:
+        iL, iR = (i - 1) % L, i % L
+        hint = {}
+        for s in range(psi_leg[i].block_number):
+            q = tuple(np.asarray(psi_leg[i].charges[s], QTYPE))
+            n = int(psi_leg[i].slices[s + 1] - psi_leg[i].slices[s])
+            hint[q] = int(np.ceil(n * cap_factor))
+        theta_legs = (_bond(i - 1, bond),
+                      psi.get_B(iL, None).get_leg('p'),
+                      psi.get_B(iR, None).get_leg('p'),
+                      _bond(i + 1, bond).conj())
+        floor = {}
+        for s_ in range(psi_leg[i].block_number):
+            q = tuple(np.asarray(psi_leg[i].charges[s_], QTYPE))
+            floor[q] = int(psi_leg[i].slices[s_ + 1] - psi_leg[i].slices[s_])
+        qtotal_th = chinfo.make_valid(qtot[iL] + qtot[iR])
+        bond[i if finite else i % L] = ps.bond_layout(
+            theta_legs, qtotal_th, qtot[iL], cap_hint=hint, cap_floor=floor,
+            chi_cap=chi_max, multiple=multiple,
+            total_cap=int(np.ceil(total_cap_factor * chi_max)))
+    return bond, psi_leg
+
+
+def pack_bond_S(psi, i, bond, finite):
+    """Bond S as a flat padded device vector in bond-layout order."""
+    L = psi.L
+    if finite and i == L:
+        S_host = np.asarray(psi.get_SR(L - 1))
+        leg = psi.get_B(L - 1, 'B').get_leg('vR').conj()
+    else:
+        S_host = np.asarray(psi.get_SL(i % L))
+        leg = psi.get_B(i % L, 'B').get_leg('vL')
+    if leg.qconj != 1:
+        leg = leg.conj()
+    out = np.zeros(int(bond.slices[-1]))
+    pos = {tuple(np.asarray(bond.charges[b], QTYPE)): b
+           for b in range(bond.block_number)}
+    for s in range(leg.block_number):
+        b = pos.get(tuple(np.asarray(leg.charges[s], QTYPE)))
+        if b is None:
+            continue
+        n = min(int(leg.slices[s + 1] - leg.slices[s]),
+                int(bond.slices[b + 1] - bond.slices[b]))
+        out[int(bond.slices[b]):int(bond.slices[b]) + n] = \
+            S_host[int(leg.slices[s]):int(leg.slices[s]) + n]
+    return jnp.asarray(out)
+
+
 class DeviceSweepEngine:
     """Device-resident two-site DMRG sweeps starting from a ramped MPS.
 
@@ -155,54 +242,13 @@ class DeviceSweepEngine:
             if self.reortho:
                 raise NotImplementedError("reortho unsupported with complex "
                                           "split-channel Lanczos")
-        cap_factor = self.cap_factor
-        # fixed padded capacity layouts: bond[i] = vL leg of site i (qconj +1)
-        self.bond = []
-        psi_leg = []
-        for i in range(self.n_bonds):
-            if self.finite and i == L:
-                leg = psi.get_B(L - 1, 'B').get_leg('vR').conj()
-            else:
-                leg = psi.get_B(i % L, 'B').get_leg('vL')
-            if leg.qconj != 1:
-                leg = leg.conj()
-            psi_leg.append(leg)
-            self.bond.append(pad_leg(leg, self.multiple)[0])
-        # widen interior bonds to every one-update-reachable charge sector
-        # (weight in a sector outside the layout would be hard-dropped), with
-        # per-sector capacity grown by cap_factor so the sector distribution
-        # can still shift during the fixed-layout sweeps
-        qtot = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
-        chinfo = psi_leg[0].chinfo
-        interior = (list(range(1, L)) if self.finite else
-                    list(range(1, L)) + [0])
-        # two passes: capacities are clipped by min(rows, cols) computed from
-        # the *neighbor* layouts, so neighbors must be widened first for a
-        # growth-capable (chi-ramp) layout
-        for i in interior + interior:
-            iL, iR = (i - 1) % L, i % L
-            hint = {}
-            for s in range(psi_leg[i].block_number):
-                q = tuple(np.asarray(psi_leg[i].charges[s], QTYPE))
-                n = int(psi_leg[i].slices[s + 1] - psi_leg[i].slices[s])
-                hint[q] = int(np.ceil(n * cap_factor))
-            theta_legs = (self._bond(i - 1),
-                          psi.get_B(iL, None).get_leg('p'),
-                          psi.get_B(iR, None).get_leg('p'),
-                          self._bond(i + 1).conj())
-            floor = {}
-            for s_ in range(psi_leg[i].block_number):
-                q = tuple(np.asarray(psi_leg[i].charges[s_], QTYPE))
-                floor[q] = int(psi_leg[i].slices[s_ + 1]
-                               - psi_leg[i].slices[s_])
-            qtotal_th = chinfo.make_valid(qtot[iL] + qtot[iR])
-            self.bond[i] = ps.bond_layout(theta_legs, qtotal_th, qtot[iL],
-                                          cap_hint=hint, cap_floor=floor,
-                                          chi_cap=self.chi_max,
-                                          multiple=self.multiple,
-                                          total_cap=int(np.ceil(
-                                              self.total_cap_factor
-                                              * self.chi_max)))
+        # fixed padded capacity layouts, widened to every one-update-reachable
+        # charge sector (weight in a sector outside the layout would be
+        # hard-dropped), per-sector capacity grown by cap_factor so the sector
+        # distribution can still shift during the fixed-layout sweeps
+        self.bond, _ = capacity_bond_layouts(
+            psi, self.chi_max, self.multiple, self.cap_factor,
+            self.total_cap_factor, self.finite)
 
         self.Bp = []
         self.Wp = []
@@ -234,29 +280,7 @@ class DeviceSweepEngine:
         return pk.pack(padded, pad=False)
 
     def _pack_S(self, i):
-        """Bond S as a flat padded device vector in bond-layout order."""
-        psi, L = self.psi, self.L
-        if self.finite and i == L:
-            S_host = np.asarray(psi.get_SR(L - 1))
-            leg = psi.get_B(L - 1, 'B').get_leg('vR').conj()
-        else:
-            S_host = np.asarray(psi.get_SL(i % L))
-            leg = psi.get_B(i % L, 'B').get_leg('vL')
-        if leg.qconj != 1:
-            leg = leg.conj()
-        bond = self._bond(i)
-        out = np.zeros(int(bond.slices[-1]))
-        pos = {tuple(np.asarray(bond.charges[b], QTYPE)): b
-               for b in range(bond.block_number)}
-        for s in range(leg.block_number):
-            b = pos.get(tuple(np.asarray(leg.charges[s], QTYPE)))
-            if b is None:
-                continue
-            n = min(int(leg.slices[s + 1] - leg.slices[s]),
-                    int(bond.slices[b + 1] - bond.slices[b]))
-            out[int(bond.slices[b]):int(bond.slices[b]) + n] = \
-                S_host[int(leg.slices[s]):int(leg.slices[s]) + n]
-        return jnp.asarray(out)
+        return pack_bond_S(self.psi, i, self._bond(i), self.finite)
 
     def _pack_env(self, E, i, side):
         if side == 'L':
