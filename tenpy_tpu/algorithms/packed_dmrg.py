@@ -50,6 +50,29 @@ logger = logging.getLogger(__name__)
 __all__ = ['DeviceSweepEngine']
 
 
+@jax.jit
+def _bond0_transition(A_old, A_new):
+    """Exact old->new bond-0 basis transition from the leftward wrap update.
+
+    In an iDMRG sweep the leftward pass's first update (sites ``(L-1, 0)``)
+    rewrites bond 0: its input ``Ap[L-1]`` (from the rightward wrap update)
+    and its output ``Ap[L-1]`` share their ``vL`` basis *exactly* (same
+    sweep, same ``LP``), while their ``vR`` legs carry bond 0 in the old
+    (rightward) and new (leftward) bases respectively.  The overlap
+
+        ``M0[a, b] = sum_{vL,p} conj(A_old[vL,p,a]) A_new[vL,p,b]
+                   = <bond0_old:a | bond0_new:b>``
+
+    is therefore the exact (up to truncation) transition between the two
+    bases — computable *within one sweep*, with no cross-sweep slot
+    identification (which breaks under degenerate Schmidt multiplets: the
+    basis inside a multiplet rotates freely between sweeps).  It re-gauges
+    the final site-0 A-tensor for a seam-consistent mixed-canonical
+    write-back (see :meth:`DeviceSweepEngine.write_back`; VERDICT r2 item 6).
+    """
+    return pk.tensordot(A_old.conj(), A_new, axes=(['vL*', 'p*'], ['vL', 'p']))
+
+
 def _env_update_L(LP, A, W):
     """LP' strictly left of site i+1 from LP (left of i), A-form tensor, MPO W.
 
@@ -209,11 +232,12 @@ class DeviceSweepEngine:
             raise ValueError("DeviceSweepEngine needs L >= 2")
         self.n_bonds = self.L + 1 if self.finite else self.L
         self.sweep_stats = {'sweep': [], 'E': [], 'max_err': [], 'time': [],
-                            'mode': []}
+                            'mode': [], 'flops_traced': []}
         self._cur_mode = None
         pk.start_transfer_keepalive()   # no-op on CPU
         self._jit_cache = {}
         self._C = None            # center-matrix carry (site of last update)
+        self._M0 = None           # bond-0 basis transition (iDMRG seam)
         self._setup()
 
     # ----------------------------------------------------------- indexing
@@ -293,13 +317,14 @@ class DeviceSweepEngine:
         return pk.pack(embed_array(E, padded), pad=False)
 
     # ---------------------------------------------------------- jitted step
-    def _get_step(self, move_right, plan, sig):
+    def _get_step(self, move_right, plan, sig, K=None):
         mode = self._cur_mode
-        key = (move_right, id(plan), sig, mode)
+        K = self.K if K is None else K
+        key = (move_right, id(plan), sig, mode, K)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
-        K, chi, smin, backend = self.K, self.chi_max, self.svd_min, self.backend
+        chi, smin, backend = self.chi_max, self.svd_min, self.backend
         P_tol, reortho = self.lanczos_P_tol, self.reortho
         exact_E = self.exact_E
 
@@ -343,7 +368,7 @@ class DeviceSweepEngine:
                               shapes, qdatas, [None] * len(shapes), C.dtype)
 
     # ------------------------------------------------------------- updates
-    def _update(self, i0, move_right):
+    def _update(self, i0, move_right, K=None):
         self._t_update = time.time()
         L = self.L
         iL, iR = i0 % L, (i0 + 1) % L
@@ -357,7 +382,7 @@ class DeviceSweepEngine:
         plan = ps.split_plan(struct, self._bond(i0 + 1),
                              self.qtotal_site[iL])
         step = self._get_step(move_right, plan,
-                              (C.struct_sig(), N.struct_sig()))
+                              (C.struct_sig(), N.struct_sig()), K=K)
         E0, A, S, B, Cn, ENVn, err, n_kept = step(LP, RP, W0, W1, C, N)
         self.Ap[iL] = A
         self.Bp[iR] = B
@@ -373,25 +398,41 @@ class DeviceSweepEngine:
         else:
             self.RPp[iL] = ENVn
         self._C = Cn
-        with pk.transfer_guard():
-            return float(jax.device_get(E0)), float(jax.device_get(err))
+        # stay async: jax dispatch queues the whole sweep on the device;
+        # the scalars are fetched once per sweep (each device_get through
+        # the axon tunnel is a full round trip — 16 per sweep would
+        # serialize the pipeline)
+        return E0, err
 
     # --------------------------------------------------------------- sweep
     def sweep(self):
         L = self.L
-        errs = []
+        Es, errs = [], []
         if self._C is None:   # very first sweep: C = S[0] . B[0]
             self._C = ps.scale_bond(self.Bp[0], self.Sp[0],
                                     ps.scale_bond_plan(self.Bp[0], 'vL'))
         n_each = L - 1 if self.finite else L
-        E_last = None
         for j in range(n_each):                        # rightward
-            E_last, err = self._update(j, True)
+            E, err = self._update(j, True)
+            Es.append(E)
             errs.append(err)
+        A_wrap_old = self.Ap[(L - 1) % L]   # rightward wrap output (vR: old bond 0)
         for j in range(n_each):                        # leftward
-            E_last, err = self._update(n_each - 1 - j, False)
+            # the final leftward update's theta guess is the one place a
+            # cross-sweep basis mismatch enters (its N = Ap[0] predates this
+            # sweep's LPp[0]); deepen its Lanczos so the guess junk decays
+            # below truncation instead of slowly poisoning the iMPS
+            K = 2 * self.K if (not self.finite and j == n_each - 1) else None
+            E, err = self._update(n_each - 1 - j, False, K=K)
+            if j == 0 and not self.finite:
+                # the leftward wrap update just rewrote bond 0; record the
+                # exact old->new basis transition for write_back
+                self._M0 = _bond0_transition(A_wrap_old, self.Ap[(L - 1) % L])
+            Es.append(E)
             errs.append(err)
-        return E_last, max(errs)
+        with pk.transfer_guard():   # one sync for the whole sweep
+            Es, errs = jax.device_get((Es, errs))
+        return float(Es[-1]), float(max(errs))
 
     def run(self):
         E_prev = None
@@ -407,6 +448,10 @@ class DeviceSweepEngine:
             self.sweep_stats['max_err'].append(max_err)
             self.sweep_stats['time'].append(dt)
             self.sweep_stats['mode'].append(self._cur_mode or 'f64')
+            # cumulative trace-time GEMM FLOPs: programs trace once (on their
+            # first sweep), so the delta across a phase's first sweep is that
+            # phase's FLOPs-per-sweep — the MFU numerator (bench_northstar.py)
+            self.sweep_stats['flops_traced'].append(pk.FLOPS_TRACED)
             logger.info("device sweep %d (%s): E0=%.14f max_err=%.2e (%.2fs)",
                         sw + 1, self._cur_mode or 'f64', E, max_err, dt)
             converged = (E_prev is not None and self.e_tol > 0
@@ -446,8 +491,22 @@ class DeviceSweepEngine:
             return keeps[i if self.finite else i % L]
 
         for i in range(L):
-            if i == 0 and self.Ap[0] is not None:
+            if self.finite and i == 0 and self.Ap[0] is not None:
                 T = pk.unpack(self.Ap[0])
+                form = 'A'
+            elif (not self.finite and i == 0 and self.Ap[0] is not None
+                    and self._M0 is not None):
+                # iDMRG seam: Bp[0].vR is one generation stale (its bond-1
+                # basis predates the final (0,1) update).  Instead of a
+                # canonical_form repair, write site 0 in A-form: the final
+                # Ap[0] is consistent with Sp[1]/Bp[1] on vR, and its vL is
+                # rotated by the exact within-sweep bond-0 transition M0
+                # into the basis of Sp[0]/Bp[L-1].vR — a mixed-canonical
+                # (A at 0, B elsewhere) chain, exact up to truncation.
+                A0 = pk.tensordot(self._M0.conj(), self.Ap[0],
+                                  axes=(['vR'], ['vL']))
+                A0 = A0.replace_labels(['vR*'], ['vL'])
+                T = pk.unpack(A0).itranspose(['vL', 'p', 'vR'])
                 form = 'A'
             else:
                 T = pk.unpack(self.Bp[i])
@@ -463,8 +522,11 @@ class DeviceSweepEngine:
             else:
                 psi.set_SL(i, Ss[i][keeps[i]])
         if not self.finite:
-            # iDMRG tensors stem from different updates: across the unit-cell
-            # wrap the bond bases drift at the convergence level — re-gauge
-            # (canonical_form wrapper also restores a real dtype: the gauge
-            # eigensolvers may upcast, and complex128 cannot go back on TPU)
-            self.psi.canonical_form()
+            # the A-form seam write keeps the mixed-canonical chain
+            # consistent to truncation error; re-gauge only if the written
+            # state fails a cheap canonicality check (e.g. interrupted
+            # mid-sweep, or write_back before any sweep ran)
+            err = float(np.max(psi.norm_test()))
+            if err > 1e-7:
+                logger.info("write_back: norm_test=%.2e, re-gauging", err)
+                self.psi.canonical_form()
