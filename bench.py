@@ -62,9 +62,14 @@ def main():
 
     # 1 warm-up sweep (pays jit compiles; the compile server caches across
     # processes so reruns are cheap) + N_SWEEPS timed sweeps, report median.
+    # Production mode: Lanczos iterations in f32-HIGHEST GEMMs (~13x the
+    # f64-emulation MXU throughput, see BENCH_TPU_PROBE.json), energy per
+    # update evaluated as the full-f64 Rayleigh quotient of the Ritz state
+    # (exact_E) — the reported E0 is the true variational energy.
     eng = DeviceSweepEngine(psi, m, {
         'chi_max': CHI, 'svd_min': 1e-10, 'lanczos_K': 10,
-        'n_sweeps': 1 + N_SWEEPS, 'cap_factor': 1.3})
+        'n_sweeps': 1 + N_SWEEPS, 'cap_factor': 1.3,
+        'matvec_mode': 'f32', 'exact_E': True, 'polish_sweeps': 0})
     eng.run()
     times = sorted(eng.sweep_stats['time'][1:])
     median = times[len(times) // 2]

@@ -98,13 +98,16 @@ def cmd_ramp(chi):
     print("ramp done ->", state_path(chi))
 
 
+V5E_BF16_PEAK = 394e12   # TPU v5e peak bf16 FLOP/s (public spec)
+
+
 def cmd_ours(chi, ramp_on_device=False):
     import jax
     if os.environ.get('OURS_CPU'):   # JAX_PLATFORMS env is ignored under axon
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
-    from tenpy_tpu.linalg.packed import start_transfer_keepalive
-    start_transfer_keepalive()   # axon tunnel: transfer streams die when idle
+    from tenpy_tpu.linalg import packed as pk
+    pk.start_transfer_keepalive()   # axon tunnel: streams die when idle
     print("backend:", jax.default_backend(), jax.devices())
     from tenpy_tpu.algorithms.packed_dmrg import DeviceSweepEngine
     m = build_model()
@@ -130,20 +133,45 @@ def cmd_ours(chi, ramp_on_device=False):
     grow = max(1.3, 1.3 * chi / max(cur, 1))
     n_ramp = 3 if cur < chi else 0
     K = int(os.environ.get('NORTHSTAR_K', '10'))
+    # production protocol: Lanczos iterations in f32-HIGHEST GEMMs, final
+    # polish sweeps in native (emulated) f64 — the polished energy is the
+    # exact f64 variational one (VERDICT r2: median-of-N, energies recorded)
+    mode = os.environ.get('NORTHSTAR_MODE', 'f32') or None
+    n_polish = int(os.environ.get('NORTHSTAR_POLISH', '1')) if mode else 0
+    pk.reset_flops()
     eng = DeviceSweepEngine(psi, m, {
         'chi_max': chi, 'svd_min': 1e-10, 'lanczos_K': K,
-        'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH, 'cap_factor': grow})
+        'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH + n_polish,
+        'cap_factor': grow, 'matvec_mode': mode, 'exact_E': bool(mode),
+        'polish_sweeps': n_polish})
     eng.run()
     with open(state_path(chi), 'wb') as f:
         pickle.dump(psi, f)
-    times = eng.sweep_stats['time']
+    st = eng.sweep_stats
+    times, modes, flops = st['time'], st['mode'], st['flops_traced']
     print(f"compile+first sweep: {times[0]:.1f}s; chi reached "
           f"{max(psi.chi)}")
-    best = min(times[1 + n_ramp:]) if len(times) > 1 + n_ramp else times[-1]
-    print(f"RESULT ours chi={chi}: {best:.2f} s/sweep "
-          f"(E0 {eng.sweep_stats['E'][-1]:.10f}, "
-          f"err {eng.sweep_stats['max_err'][-1]:.2e})")
-    return best
+    # timed window: post-ramp sweeps in production mode, excluding the very
+    # first sweep (compiles); median, not best
+    prod = [t for i, t in enumerate(times)
+            if i >= 1 + n_ramp and modes[i] == (mode or 'f64')]
+    prod_sorted = sorted(prod) if prod else [times[-1]]
+    med = prod_sorted[len(prod_sorted) // 2]
+    # MFU: FLOPs of one sweep = traced-FLOP delta across the first sweep
+    # (every program traces exactly once, on its first sweep)
+    sweep_flops = flops[0]
+    mfu = sweep_flops / med / V5E_BF16_PEAK if med > 0 else 0.
+    for i, t in enumerate(times):
+        print(f"  sweep {i+1} [{modes[i]}]: {t:.2f}s E0={st['E'][i]:.12f} "
+              f"err={st['max_err'][i]:.2e}")
+    E_site = float(m.H_MPO.expectation_value(psi))
+    print(f"E/site (host TM, f64) = {E_site:.12f}")
+    print(f"RESULT ours chi={chi}: {med:.2f} s/sweep median of {len(prod)} "
+          f"[{mode or 'f64'}] (best {prod_sorted[0]:.2f}); "
+          f"polish E0 {st['E'][-1]:.12f}; "
+          f"~{sweep_flops/1e12:.1f} TFLOP/sweep, "
+          f"MFU {100*mfu:.1f}% of bf16 peak")
+    return med
 
 
 # ---------------------------------------------------------------- reference
@@ -194,6 +222,40 @@ def cmd_ref(chi):
     return dt
 
 
+def cmd_energy(chi):
+    """Side-by-side E/site of the cached ref and TPU states at this chi.
+
+    Each state is measured by its *own* framework's MPO transfer-matrix
+    energy (both f64, CPU) — the parity evidence for BENCH_NORTHSTAR.json's
+    ``energy_match`` fields.
+    """
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    E_ours = E_ref = None
+    if os.path.exists(state_path(chi)):
+        m = build_model()
+        with open(state_path(chi), 'rb') as f:
+            psi = pickle.load(f)
+        psi.real_if_close()
+        E_ours = float(m.H_MPO.expectation_value(psi))
+        print(f"ours  chi={max(psi.chi):4d}: E/site = {E_ours:.12f}")
+    ref_p = os.path.join(CACHE, f'northstar_ref_Ly{LY}_chi{chi}.pkl')
+    if os.path.exists(ref_p):
+        sys.path.insert(0, '/root/reference')
+        from tenpy.models.hubbard import FermiHubbardModel as RefHubbard
+        m_ref = RefHubbard(dict(MODEL_PARAMS))
+        with open(ref_p, 'rb') as f:
+            psi_ref = pickle.load(f)
+        E_ref = float(m_ref.H_MPO.expectation_value(psi_ref))
+        print(f"ref   chi={max(psi_ref.chi):4d}: E/site = {E_ref:.12f}")
+    if E_ours is not None and E_ref is not None:
+        print(f"delta = {E_ours - E_ref:+.3e}  "
+              "(variational states at equal chi need not agree to machine "
+              "precision; both are upper bounds)")
+    return E_ours, E_ref
+
+
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'ours'
     chi = int(sys.argv[2]) if len(sys.argv) > 2 else 512
@@ -205,5 +267,7 @@ if __name__ == '__main__':
         cmd_ours(chi, ramp_on_device=True)
     elif mode == 'ref':
         cmd_ref(chi)
+    elif mode == 'energy':
+        cmd_energy(chi)
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -308,8 +308,9 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
             return (v, v_next, jnp.where(ok, beta, 0.)), (v, alpha, beta)
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
-        (_, _, _), (vs, alphas, betas) = lax.scan(
-            body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
+        with pk.flop_scale(K):   # body traced once, executed K times
+            (_, _, _), (vs, alphas, betas) = lax.scan(
+                body, (zero, v0, jnp.asarray(0., real_dtype)), None, length=K)
         # slots after an early Krylov breakdown are dead (zero vectors, zero
         # alpha/beta): shift their diagonal above the spectrum (Gershgorin)
         # so the min eigenvalue comes from the live block
@@ -364,7 +365,8 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
     st = (jnp.asarray(0), zero, v0, jnp.asarray(0., real_dtype), Vbuf0,
           alphas0, betas0, jnp.asarray(jnp.inf, real_dtype),
           jnp.asarray(False))
-    i, _, _, _, Vbuf, alphas, betas, _, _ = lax.while_loop(cond, body, st)
+    with pk.flop_scale(K):   # body traced once, executed up to K times
+        i, _, _, _, Vbuf, alphas, betas, _, _ = lax.while_loop(cond, body, st)
     E0, c = T_energy(alphas, betas, i)
     resid = jnp.abs(betas[jnp.maximum(i - 1, 0)] * c[jnp.maximum(i - 1, 0)])
     theta_gs = tree_back(Vbuf, c)

@@ -529,9 +529,35 @@ def unpack(p, orig_legs=None, purge=True):
 _PACKED_PLAN_CACHE = {}
 _PACKED_MESH = None
 _MATMUL_MODE = None
+_FLOP_SCALE = 1
+FLOPS_TRACED = 0   # trace-time GEMM FLOP counter (see flop_scale)
 
 
 from contextlib import contextmanager
+
+
+def reset_flops():
+    """Zero the trace-time GEMM FLOP counter (:data:`FLOPS_TRACED`)."""
+    global FLOPS_TRACED
+    FLOPS_TRACED = 0
+
+
+@contextmanager
+def flop_scale(k):
+    """Multiply FLOPs counted inside by ``k`` (trace-time bookkeeping).
+
+    ``lax.scan`` / ``lax.while_loop`` trace their body **once** but execute it
+    up to the trip count — wrap the scan call so :data:`FLOPS_TRACED` reflects
+    executed work.  Used for the achieved-FLOP/s (MFU) report of the bench
+    harness; costs nothing at runtime (pure Python, trace time only).
+    """
+    global _FLOP_SCALE
+    old = _FLOP_SCALE
+    _FLOP_SCALE = old * k
+    try:
+        yield
+    finally:
+        _FLOP_SCALE = old
 
 
 @contextmanager
@@ -584,7 +610,7 @@ def set_packed_mesh(mesh):
 
 class _PackedPlan:
     __slots__ = ('out_legs', 'out_qtotal', 'out_shapes', 'out_qdatas',
-                 'out_sizes', 'groups')
+                 'out_sizes', 'groups', 'assembly')
 
     def __init__(self, out_legs, out_qtotal, out_shapes, out_qdatas,
                  out_sizes, groups):
@@ -595,6 +621,55 @@ class _PackedPlan:
         self.out_sizes = out_sizes        # N per out group
         # groups: list of (sa, sb, so, mkn, a_pos, b_pos, o_uniq, o_inv)
         self.groups = groups
+        # per out bucket: how to assemble the bucket from the per-group GEMM
+        # results (see _plan_assembly) — gather-based, no scatter-add on the
+        # hot path (TPU scatters with wide update windows blow the 16 MB
+        # scoped-vmem limit at chi >= 2048 and are slow below that)
+        self.assembly = _plan_assembly(out_sizes, groups)
+
+
+# out rows with more contributing GEMM entries than this fall back to a
+# (column-chunked) scatter-add instead of a padded gather-sum
+_MAX_GATHER_FANIN = 16
+
+
+def _plan_assembly(out_sizes, groups):
+    """Static assembly recipes: out bucket <- rows of concatenated GEMM results.
+
+    For each out bucket ``so`` the contributing groups' batched GEMM results
+    (flattened to ``(B_g, m*n)``) are concatenated in group order; entry ``t``
+    of group ``g`` lands in out row ``o_uniq[o_inv[t]]``.  The recipe is
+    either ``('gather', idx, identity)`` — ``idx[r]`` lists the concat
+    positions summed into row ``r`` (padded with the one-past-end zero-row
+    sentinel) — or ``('scatter', rows)`` when some row's fan-in exceeds
+    :data:`_MAX_GATHER_FANIN`.  ``None`` for buckets nothing contributes to.
+    """
+    per_so = {}
+    for (sa, sb, so, mkn, a_pos, b_pos, o_uniq, o_inv) in groups:
+        per_so.setdefault(so, []).append(np.asarray(o_uniq)[np.asarray(o_inv)])
+    assembly = []
+    for so, nsz in enumerate(out_sizes):
+        ent = per_so.get(so)
+        if not ent:
+            assembly.append(None)
+            continue
+        rows = np.concatenate(ent).astype(np.int64)
+        n_all = len(rows)
+        counts = np.bincount(rows, minlength=nsz)
+        max_c = int(counts.max())
+        if max_c > _MAX_GATHER_FANIN:
+            assembly.append(('scatter', rows.astype(np.int32)))
+            continue
+        idx = np.full((nsz, max_c), n_all, np.int32)
+        fill = np.zeros(nsz, np.int32)
+        for pos, r in enumerate(rows):
+            idx[r, fill[r]] = pos
+            fill[r] += 1
+        identity = (max_c == 1 and n_all == nsz
+                    and np.array_equal(idx[:, 0], np.arange(nsz)))
+        idx.setflags(write=False)
+        assembly.append(('gather', idx, identity))
+    return assembly
 
 
 def _packed_plan(a, b, n_axes):
@@ -693,9 +768,7 @@ def tensordot(a, b, axes):
         return jnp.matmul(am, bm)
 
     n_chan = 2 if iscomplex else 1
-    out_chans = [[jnp.zeros((nsz,) + shape, buf_dtype)
-                  for nsz, shape in zip(plan.out_sizes, plan.out_shapes)]
-                 for _ in range(n_chan)]
+    contrib = {}   # so -> per-channel lists of (B_g, m, n) GEMM results
     for (sa, sb, so, (m, kk, n), a_pos, b_pos, o_uniq, o_inv) in plan.groups:
         B = len(a_pos)
 
@@ -725,22 +798,55 @@ def tensordot(a, b, axes):
             else None
         if not iscomplex:
             cs = [_mm(ar, br)]
+            n_gemm = 1
         elif ai is None:                     # real x complex: 2 GEMMs
             cs = [_mm(ar, br), _mm(ar, bi)]
+            n_gemm = 2
         elif bi is None:                     # complex x real: 2 GEMMs
             cs = [_mm(ar, br), _mm(ai, br)]
+            n_gemm = 2
         else:                                # complex x complex: Karatsuba,
             t1 = _mm(ar, br)                 # 3 GEMMs instead of 4
             t2 = _mm(ai, bi)
             t3 = _mm(ar + ai, br + bi)
             cs = [t1 - t2, t3 - t1 - t2]
-        for c, out_data in zip(cs, out_chans):
-            if len(o_uniq) < B:
-                c = jax.ops.segment_sum(c, jnp.asarray(o_inv),
-                                        num_segments=len(o_uniq))
-            shape_o = plan.out_shapes[so]
-            c = c.reshape((c.shape[0],) + shape_o)
-            out_data[so] = out_data[so].at[jnp.asarray(o_uniq)].add(c)
+            n_gemm = 3
+        global FLOPS_TRACED
+        FLOPS_TRACED += _FLOP_SCALE * n_gemm * 2 * B * m * kk * n
+        contrib.setdefault(so, [[] for _ in range(n_chan)])
+        for c, lst in zip(cs, contrib[so]):
+            lst.append(c.reshape(B, -1))
+
+    out_chans = [[None] * len(plan.out_shapes) for _ in range(n_chan)]
+    for so, (nsz, shape) in enumerate(zip(plan.out_sizes, plan.out_shapes)):
+        recipe = plan.assembly[so]
+        parts = contrib.get(so)
+        for ch in range(n_chan):
+            if recipe is None or parts is None:
+                out_chans[ch][so] = jnp.zeros((nsz,) + shape, buf_dtype)
+                continue
+            all_c = parts[ch][0] if len(parts[ch]) == 1 else \
+                jnp.concatenate(parts[ch], axis=0)
+            flat = all_c.shape[1]
+            if recipe[0] == 'gather':
+                _, idx, identity = recipe
+                if identity:
+                    out = all_c
+                elif idx.shape[1] == 1 and len(all_c) == nsz:
+                    out = all_c[jnp.asarray(idx[:, 0])]
+                else:
+                    padded = jnp.concatenate(
+                        [all_c, jnp.zeros((1, flat), buf_dtype)], axis=0)
+                    out = padded[jnp.asarray(idx)].sum(axis=1)
+            else:                             # rare high-fan-in fallback:
+                rows = jnp.asarray(recipe[1])  # column-chunked scatter-add
+                out = jnp.zeros((nsz, flat), buf_dtype)
+                step = max(1, (1 << 17) // max(nsz, 1))   # <=1 MB f64 operand
+                for j0 in range(0, flat, step):
+                    j1 = min(j0 + step, flat)
+                    upd = out[:, j0:j1].at[rows].add(all_c[:, j0:j1])
+                    out = out.at[:, j0:j1].set(upd)
+            out_chans[ch][so] = out.reshape((nsz,) + shape)
     labels = tuple(at._labels[:ka]) + tuple(bt._labels[n_axes:])
     return PackedArray(plan.out_legs, plan.out_qtotal, labels,
                        plan.out_shapes, plan.out_qdatas, out_chans[0], dtype,
