@@ -416,21 +416,139 @@ class Array:
         return self
 
     def __getitem__(self, inds):
-        """Single-element access ``a[i, j, ...]`` (full fancy indexing not supported)."""
+        """Indexing ``a[i, j, ...]``: ints fix legs, slices/masks project legs.
+
+        - all ints: the single element (scalar);
+        - mix of ints and slices / boolean masks / ``...``: ints are handled
+          by :meth:`take_slice`, non-trivial slices by :meth:`iproject`.
+        Reference: ``tenpy/linalg/np_conserved.py:920``.
+        """
+        inds = self._expand_ellipsis(inds)
+        if all(isinstance(i, (int, np.integer)) for i in inds):
+            row = []
+            within = []
+            for l, i in zip(self.legs, inds):
+                qi, r = l.get_qindex(int(i))
+                row.append(qi)
+                within.append(r)
+            blk = self.get_block(row)
+            if blk is None:
+                return np.zeros((), self.dtype)[()]
+            return blk[tuple(within)]
+        # partial indexing: project slices/masks first, then fix the ints
+        res = self
+        fix_axes, fix_inds = [], []
+        proj_axes, proj_masks = [], []
+        for a, (l, i) in enumerate(zip(self.legs, inds)):
+            if isinstance(i, (int, np.integer)):
+                fix_axes.append(a)
+                fix_inds.append(int(i))
+            elif isinstance(i, slice):
+                if i != slice(None):
+                    mask = np.zeros(l.ind_len, bool)
+                    mask[i] = True
+                    proj_axes.append(a)
+                    proj_masks.append(mask)
+            elif isinstance(i, np.ndarray) and i.dtype == bool:
+                proj_axes.append(a)
+                proj_masks.append(i)
+            else:
+                raise IndexError(f"unsupported index {i!r}")
+        if proj_axes:
+            res = res.copy(deep=False)
+            res.iproject(proj_masks, proj_axes)
+        if fix_axes:
+            res = res.take_slice(fix_inds, fix_axes)
+        return res
+
+    def _expand_ellipsis(self, inds):
         if not isinstance(inds, tuple):
             inds = (inds,)
-        if len(inds) != self.rank or not all(isinstance(i, (int, np.integer)) for i in inds):
-            raise NotImplementedError("only full integer indexing is supported")
+        if any(i is Ellipsis for i in inds):
+            k = next(k for k, i in enumerate(inds) if i is Ellipsis)
+            fill = self.rank - (len(inds) - 1)
+            inds = inds[:k] + (slice(None),) * fill + inds[k + 1:]
+        if len(inds) < self.rank:
+            inds = inds + (slice(None),) * (self.rank - len(inds))
+        if len(inds) != self.rank:
+            raise IndexError(f"too many indices for rank-{self.rank} Array")
+        return inds
+
+    def __setitem__(self, inds, value):
+        """Set a single element ``a[i, j, ...] = v`` (or assign a projected
+        sub-Array with ``a[mask/slice, ...] = sub``).
+
+        Setting an element whose block violates the charge rule raises unless
+        the value is (numerically) zero.  Reference: ``np_conserved.py:971``.
+        """
+        inds = self._expand_ellipsis(inds)
+        if not all(isinstance(i, (int, np.integer)) for i in inds):
+            raise NotImplementedError(
+                "only full integer indexing is supported for __setitem__")
         row = []
         within = []
         for l, i in zip(self.legs, inds):
             qi, r = l.get_qindex(int(i))
             row.append(qi)
             within.append(r)
-        blk = self.get_block(row)
-        if blk is None:
-            return np.zeros((), self.dtype)
-        return blk[tuple(within)]
+        row = np.asarray(row, QTYPE)
+        idx = self._find_block(row)
+        if idx is None:
+            if tuple(_row_qtotal(self.legs, row)) != self.qtotal:
+                if value == 0:
+                    return
+                raise ValueError("can't set nonzero element: "
+                                 "block violates the charge rule")
+            blk = np.zeros(_block_shape(self.legs, row), self.dtype)
+            blk[tuple(within)] = value
+            self.set_block(row, blk)
+            return
+        blk = self._data[idx]
+        if _use_jnp(blk):
+            self._data[idx] = blk.at[tuple(within)].set(value)
+        else:
+            blk = np.array(blk)
+            blk[tuple(within)] = value
+            self._data[idx] = blk
+
+    def take_slice(self, indices, axes):
+        """Fix ``indices`` along ``axes``: rank-(r-k) copy, ``A[:, i, j, :]``-like.
+
+        ``qtotal`` loses the charge of every fixed index.
+        Reference: ``tenpy/linalg/np_conserved.py:1037``.
+        """
+        from .charges import ChargeInfo  # noqa: F401  (doc pointer)
+        if not isinstance(axes, (list, tuple)):
+            axes = [axes]
+        if not isinstance(indices, (list, tuple, np.ndarray)):
+            indices = [indices]
+        axes = [self.get_leg_index(a) if isinstance(a, str) else int(a)
+                for a in axes]
+        indices = [int(i) for i in indices]
+        if len(axes) != len(indices):
+            raise ValueError("len(axes) != len(indices)")
+        if len(axes) == 0:
+            return self.copy(deep=True)
+        if self.rank == len(axes):
+            raise ValueError("cannot fix every leg; use a[i, j, ...] instead")
+        pos = {a: self.legs[a].get_qindex(i) for a, i in zip(axes, indices)}
+        keep_axes = [a for a in range(self.rank) if a not in pos]
+        chinfo = self.chinfo
+        qtotal = np.asarray(self.qtotal, QTYPE).copy()
+        for a, (qi, _) in pos.items():
+            qtotal -= np.asarray(self.legs[a].get_charge(qi), QTYPE)
+        res = Array([self.legs[a] for a in keep_axes], self.dtype,
+                    chinfo.make_valid(qtotal),
+                    [self._labels[a] for a in keep_axes])
+        sel = np.ones(len(self._qdata), bool)
+        for a, (qi, _) in pos.items():
+            sel &= self._qdata[:, a] == qi
+        sl = tuple(pos[a][1] if a in pos else slice(None)
+                   for a in range(self.rank))
+        qdata = self._qdata[np.ix_(sel, np.asarray(keep_axes, np.intp))]
+        data = [blk[sl] for blk, k in zip(self._data, sel) if k]
+        res._set_blocks(qdata, data)
+        return res
 
     # ------------------------------------------------------------------ sanity
     # ------------------------------------------------------------------ hdf5
@@ -2209,6 +2327,10 @@ def expm(a):
     """Blockwise matrix exponential of a square Array. Reference: ``np_conserved.py:4104``."""
     _check_square(a)
     res = diag(1., a.legs[0], dtype=a.dtype)
+    # keep the input's exact legs (a.legs[1] may be a LegPipe whose split
+    # restores the original labels) and its labels
+    res.legs = a.legs
+    res._labels = a._labels
     rows = {tuple(r): i for i, r in enumerate(res._qdata)}
     for row, block in zip(a._qdata, a._data):
         if _use_jnp(block):

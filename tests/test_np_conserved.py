@@ -336,3 +336,71 @@ def test_pytree_jit():
     c2 = f(a * 2.0, b)   # same structure -> no retrace
     assert len(calls) == 1
     npt((c1 * 2.0).to_ndarray(), c2.to_ndarray(), rtol=1e-10)
+
+
+@pytest.mark.parametrize('chinfo', CHINFOS)
+def test_itemaccess(chinfo):
+    """Element get/set and take_slice vs dense (reference test:202)."""
+    a = random_Array((6, 5, 4), chinfo)
+    dense = a.to_ndarray()
+    rs = np.random.default_rng(5)
+    for _ in range(10):
+        i, j, k = (int(rs.integers(0, n)) for n in a.shape)
+        npt(a[i, j, k], dense[i, j, k])
+    # setitem on a stored (charge-allowed) element
+    nz = np.argwhere(np.abs(dense) > 1e-10)
+    if len(nz):
+        i, j, k = map(int, nz[0])
+        a[i, j, k] = 3.25
+        dense[i, j, k] = 3.25
+        npt(a.to_ndarray(), dense)
+        a.test_sanity()
+    # setting a charge-forbidden element to zero is a no-op; nonzero raises
+    zero_pos = np.argwhere(np.abs(dense) < 1e-14)
+    if len(zero_pos) and chinfo.qnumber > 0:
+        for pos in map(tuple, zero_pos):
+            blk = a.get_block([a.legs[ax].get_qindex(pos[ax])[0]
+                               for ax in range(3)])
+            if blk is None:
+                a[pos] = 0.           # allowed
+                try:
+                    a[pos] = 1.
+                except ValueError:
+                    pass
+                else:
+                    # allowed only if the block satisfies the charge rule
+                    npt(a[pos], 1.)
+                break
+
+
+@pytest.mark.parametrize('chinfo', CHINFOS)
+def test_take_slice(chinfo):
+    a = random_Array((6, 5, 4), chinfo)
+    a.iset_leg_labels(['x', 'y', 'z'])
+    dense = a.to_ndarray()
+    s = a.take_slice(2, 'y')
+    s.test_sanity()
+    assert s.get_leg_labels() == ('x', 'z')
+    npt(s.to_ndarray(), dense[:, 2, :])
+    s2 = a.take_slice([1, 3], ['x', 'z'])
+    s2.test_sanity()
+    npt(s2.to_ndarray(), dense[1, :, 3])
+    # qtotal bookkeeping: charges of the fixed indices removed
+    assert tuple(s2.qtotal) == tuple(a.chinfo.make_valid(
+        np.asarray(a.qtotal) - np.asarray(a.legs[0].get_charge(
+            a.legs[0].get_qindex(1)[0]))
+        - np.asarray(a.legs[2].get_charge(a.legs[2].get_qindex(3)[0]))))
+
+
+@pytest.mark.parametrize('chinfo', CHINFOS)
+def test_getitem_slices(chinfo):
+    a = random_Array((6, 5, 4), chinfo)
+    dense = a.to_ndarray()
+    npt(a[2].to_ndarray(), dense[2])
+    npt(a[:, 1, :].to_ndarray(), dense[:, 1, :])
+    npt(a[..., 3].to_ndarray(), dense[..., 3])
+    npt(a[1:4].to_ndarray(), dense[1:4])
+    mask = np.zeros(5, bool)
+    mask[[0, 2, 4]] = True
+    npt(a[:, mask, :].to_ndarray(), dense[:, mask, :])
+    npt(a[0, :, 2:].to_ndarray(), dense[0, :, 2:])
