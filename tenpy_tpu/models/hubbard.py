@@ -10,9 +10,10 @@ import numpy as np
 
 from .model import CouplingMPOModel, NearestNeighborModel
 from .lattice import Chain
-from ..networks.site import BosonSite, SpinHalfFermionSite
+from ..networks.site import (BosonSite, FermionSite, SpinHalfFermionSite,
+                             spin_half_species)
 
-__all__ = ['BoseHubbardModel', 'BoseHubbardChain', 'DipolarBoseHubbardChain', 'FermiHubbardModel',
+__all__ = ['BoseHubbardModel', 'BoseHubbardChain', 'DipolarBoseHubbardChain', 'FermiHubbardModel', 'FermiHubbardModel2',
            'FermiHubbardChain']
 
 
@@ -81,6 +82,41 @@ class FermiHubbardModel(CouplingMPOModel):
 class FermiHubbardChain(FermiHubbardModel, NearestNeighborModel):
     default_lattice = Chain
     force_default_lattice = True
+
+
+class FermiHubbardModel2(CouplingMPOModel):
+    r"""The :class:`FermiHubbardModel` with local dimension 2 per species.
+
+    Same Hamiltonian, but on two plain :class:`~tenpy_tpu.networks.site.FermionSite`
+    (spin-up / spin-down species) combined through a
+    :class:`~tenpy_tpu.models.lattice.MultiSpeciesLattice` instead of one
+    :class:`~tenpy_tpu.networks.site.SpinHalfFermionSite` — the formally
+    better-scaling MPO factorization.  Reference: ``hubbard.py:217``.
+
+    Options: ``t`` (1.), ``U`` (0.), ``V`` (0.), ``mu`` (0.),
+    ``cons_N`` ('N'), ``cons_Sz`` ('Sz').
+    """
+
+    def init_sites(self, model_params):
+        cons_N = model_params.get('cons_N', 'N')
+        cons_Sz = model_params.get('cons_Sz', 'Sz')
+        # (sites, names) tuple: init_lattice wraps in a MultiSpeciesLattice
+        return spin_half_species(FermionSite, cons_N=cons_N, cons_Sz=cons_Sz)
+
+    def init_terms(self, model_params):
+        t = model_params.get('t', 1., 'real_or_array')
+        U = model_params.get('U', 0., 'real_or_array')
+        V = model_params.get('V', 0., 'real_or_array')
+        mu = model_params.get('mu', 0., 'real_or_array')
+        for u in range(len(self.lat.unit_cell)):
+            self.add_onsite(-mu, u, 'N')
+        for u1, u2, dx in self.lat.pairs['onsite_up-down']:
+            self.add_coupling(U, u1, 'N', u2, 'N', dx)
+        for u1, u2, dx in self.lat.pairs['nearest_neighbors_diag']:
+            self.add_coupling(-t, u1, 'Cd', u2, 'C', dx, plus_hc=True)
+        if np.any(np.asarray(V) != 0.):
+            for u1, u2, dx in self.lat.pairs['nearest_neighbors_all-all']:
+                self.add_coupling(V, u1, 'N', u2, 'N', dx)
 
 
 class DipolarBoseHubbardChain(CouplingMPOModel):

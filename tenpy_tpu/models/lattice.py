@@ -384,7 +384,9 @@ class Lattice:
         names = ['nearest_neighbors', 'next_nearest_neighbors',
                  'next_next_nearest_neighbors']
         for k, d in enumerate(dists[:len(names)]):
-            sel = np.abs(pos - d) < eps
+            # d is rounded to 8 decimals: select with a matching tolerance
+            # (eps alone drops irrational distances like sqrt(2))
+            sel = np.abs(pos - d) < max(eps, 1e-7)
             seen = set()
             pairs = []
             for (u, u2, dx) in [info[i] for i in np.nonzero(sel)[0]]:
@@ -711,6 +713,19 @@ class Chain(SimpleLattice):
         })
         super().__init__([L], site, **kwargs)
 
+    def ordering(self, order):
+        if isinstance(order, str) and order == 'folded':
+            # [0, L-1, 1, L-2, ...]: maps a periodic ring onto an open MPS
+            # with only short-range matrix elements (reference lattice.py:2510)
+            L = self.shape[0]
+            idx = []
+            for i in range((L + 1) // 2):
+                idx.append(i)
+                if i != L - 1 - i:
+                    idx.append(L - 1 - i)
+            return np.array([[i, 0] for i in idx], np.intp)
+        return super().ordering(order)
+
 
 class Ladder(Lattice):
     """Two-leg ladder. Reference: ``:2605``."""
@@ -837,18 +852,47 @@ class MultiSpeciesLattice(Lattice):
     def __init__(self, simple_lattice, species_sites, species_names=None):
         self.simple_lattice = simple_lattice
         n_sp = len(species_sites)
+        if species_names is None:
+            species_names = [str(s) for s in range(n_sp)]
+        self.species_names = list(species_names)
         unit_cell = []
         for u in range(simple_lattice.Lu):
             unit_cell.extend(species_sites)
         positions = np.repeat(simple_lattice.position_vectors, n_sp, axis=0)
+        # species-resolved pair names (reference lattice.py:1750):
+        #   '<key>'            — all species combinations (backwards compat)
+        #   '<key>_all-all'    — same as '<key>'
+        #   '<key>_diag'       — same species on both ends
+        #   '<key>_<a>-<b>'    — species a on the first, b on the second end
+        # plus 'onsite_<a>-<b>' pairs within one unit-cell site (a < b).
         pairs = {}
         for name, entries in simple_lattice.pairs.items():
-            new = []
+            allall = []
+            diag = []
+            by_sp = {(a, b): [] for a in range(n_sp) for b in range(n_sp)}
             for (u1, u2, dx) in entries:
                 for s1 in range(n_sp):
                     for s2 in range(n_sp):
-                        new.append((u1 * n_sp + s1, u2 * n_sp + s2, dx))
-            pairs[name] = new
+                        e = (u1 * n_sp + s1, u2 * n_sp + s2, dx)
+                        allall.append(e)
+                        if s1 == s2:
+                            diag.append(e)
+                        by_sp[s1, s2].append(e)
+            pairs[name] = allall
+            pairs[name + '_all-all'] = allall
+            pairs[name + '_diag'] = diag
+            for (a, b), lst in by_sp.items():
+                pairs[f'{name}_{species_names[a]}-{species_names[b]}'] = lst
+        zero_dx = np.zeros(simple_lattice.dim, np.intp)
+        onsite_all = []
+        for u in range(simple_lattice.Lu):
+            for a in range(n_sp):
+                for b in range(a + 1, n_sp):
+                    e = (u * n_sp + a, u * n_sp + b, zero_dx)
+                    onsite_all.append(e)
+                    key = f'onsite_{species_names[a]}-{species_names[b]}'
+                    pairs.setdefault(key, []).append(e)
+        pairs['onsite_all-all'] = onsite_all
         super().__init__(simple_lattice.Ls, unit_cell,
                          bc=simple_lattice.boundary_conditions,
                          bc_MPS=simple_lattice.bc_MPS,

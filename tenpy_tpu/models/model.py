@@ -602,8 +602,15 @@ class CouplingMPOModel(CouplingModel, MPOModel):
         bc_MPS = model_params.get('bc_MPS', 'finite', str)
         kwargs = {'bc_MPS': bc_MPS}
         sites = self.init_sites(model_params)
-        if not isinstance(sites, (list, tuple)):
-            sites = sites  # single site
+        species = None
+        if isinstance(sites, tuple) and len(sites) == 2 \
+                and isinstance(sites[1], (list, tuple)) and sites[1] \
+                and all(isinstance(n, str) for n in sites[1]):
+            # init_sites returned (species_sites, species_names): build the
+            # simple lattice first, then wrap it in a MultiSpeciesLattice
+            # (reference model.py:2090 special syntax)
+            species = (list(sites[0]), list(sites[1]))
+            sites = species[0][0]   # placeholder site for construction
         dim = getattr(lat, 'dim', 1)
         if dim == 1:
             L = model_params.get('L', 2, int)
@@ -626,7 +633,11 @@ class CouplingMPOModel(CouplingModel, MPOModel):
             raise ValueError("unsupported lattice dimension")
         order = model_params.get('order', 'default', str)
         kwargs['order'] = order
-        return lat(*args, **kwargs)
+        lat_obj = lat(*args, **kwargs)
+        if species is not None:
+            from .lattice import MultiSpeciesLattice
+            lat_obj = MultiSpeciesLattice(lat_obj, species[0], species[1])
+        return lat_obj
 
     def init_sites(self, model_params):
         """Build the local Hilbert space (override in subclasses)."""

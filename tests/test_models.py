@@ -131,3 +131,15 @@ def test_model_dmrg_e2e():
     info = dmrg.run(psi, m, {'trunc_params': {'chi_max': 64, 'svd_min': 1e-14},
                              'max_E_err': 1e-12, 'mixer': False})
     assert abs(info['E'] - E_exact) < 1e-10
+
+
+def test_fermi_hubbard_model2():
+    """FermiHubbardModel2 (two FermionSite species on a MultiSpeciesLattice)
+    has the same spectrum as FermiHubbardModel (reference hubbard.py:217)."""
+    import numpy as np
+    from tenpy_tpu.models.hubbard import FermiHubbardModel, FermiHubbardModel2
+    from tenpy_tpu.algorithms.exact_diag import get_numpy_Hamiltonian
+    p = {'L': 3, 't': 1., 'U': 4., 'mu': 0.5, 'V': 0.3, 'bc_MPS': 'finite'}
+    w1 = np.linalg.eigvalsh(get_numpy_Hamiltonian(FermiHubbardModel(dict(p))))
+    w2 = np.linalg.eigvalsh(get_numpy_Hamiltonian(FermiHubbardModel2(dict(p))))
+    np.testing.assert_allclose(np.sort(w1), np.sort(w2), atol=1e-10)
