@@ -131,7 +131,9 @@ class MPS:
         return slice(1, self.L) if self.finite else slice(0, self.L + 1)
 
     def copy(self):
-        res = MPS.__new__(MPS)
+        # type(self), not MPS: subclasses (PurificationMPS, ...) must
+        # survive a copy with their _p_label / overridden methods intact
+        res = type(self).__new__(type(self))
         res.sites = list(self.sites)
         res.chinfo = self.chinfo
         res.dtype = self.dtype
