@@ -1572,26 +1572,33 @@ def _execute_plan(plan, a_data, b_data, dtype, n_axes, ka, ra, rb):
     return out
 
 
-def inner(a, b, axes='range', do_conj=False):
+def inner(a, b, axes='labels', do_conj=False):
     """Full contraction of two same-rank arrays -> scalar.
 
-    ``axes='range'`` pairs legs in order; ``axes='labels'`` pairs by matching labels.
-    Reference: ``tenpy/linalg/np_conserved.py:3540``.
+    ``axes='range'`` pairs legs in order.  The default ``axes='labels'``
+    pairs a's legs with b's legs of the *same* labels when ``do_conj=True``
+    and with the *conjugate* labels (``'p'`` <-> ``'p*'``) when
+    ``do_conj=False`` — i.e. it always expresses ``<a|b>``-style contractions
+    regardless of transposition.  Reference: ``tenpy/linalg/np_conserved.py:3540``.
     """
-    if do_conj:
-        a = a.conj()
     if axes == 'range':
         axes_a = list(range(a.rank))
         axes_b = list(range(b.rank))
     elif axes == 'labels':
+        a_labels = a.get_leg_labels()
         axes_a = list(range(a.rank))
-        axes_b = [b.get_leg_index(_conj_label(l) if do_conj is False else l)
-                  for l in a.get_leg_labels()] if False else \
-                 [b.get_leg_index(l) for l in a.get_leg_labels()]
+        if do_conj:
+            axes_b = [b.get_leg_index(l) for l in a_labels]
+        else:
+            axes_b = [b.get_leg_index(_conj_label(l)) for l in a_labels]
     else:
         axes_a, axes_b = axes
         axes_a = [a.get_leg_index(x) for x in axes_a]
         axes_b = [b.get_leg_index(x) for x in axes_b]
+    if len(axes_a) != a.rank or len(axes_b) != b.rank:
+        raise ValueError("inner() needs a full contraction; use tensordot")
+    if do_conj:
+        a = a.conj()
     return tensordot(a, b, (axes_a, axes_b))
 
 
@@ -2154,7 +2161,6 @@ def pinv(a, cutoff=1e-15):
     """Moore-Penrose pseudo-inverse (blockwise). Reference: ``np_conserved.py:3821``."""
     U, S, VH = svd(a)
     Sinv = jnp.where(S > cutoff * jnp.max(S), 1.0 / jnp.where(S > 0, S, 1.0), 0.0)
-    res = tensordot(VH.conj(), U.conj(), axes=0) if False else None
     X = VH.conj().itranspose([1, 0])      # legs [legs1.conj, inner.conj]
     X = X.iscale_axis(Sinv, 1)
     return tensordot(X, U.conj().itranspose([1, 0]), axes=[[1], [0]])
@@ -2270,8 +2276,10 @@ def _eig_worker(hermitian, a, sort, UPLO='L'):
     _check_square(a)
     leg = a.legs[0]
     xp = _xp(*a._data)
-    W = xp.zeros(leg.ind_len, a.dtype if not hermitian else
-                 np.zeros((), a.dtype).real.dtype)
+    # general eig of a real matrix has complex eigenvalues/-vectors
+    W = xp.zeros(leg.ind_len,
+                 np.zeros((), a.dtype).real.dtype if hermitian
+                 else np.result_type(a.dtype, np.complex64))
     vdtype = a.dtype if hermitian else np.result_type(a.dtype, np.complex64)
     V = diag(1., leg, dtype=vdtype)
     v_rows = {tuple(r): i for i, r in enumerate(V._qdata)}

@@ -76,6 +76,15 @@ class Simulation:
         self.model = None
         self.psi = None
         self.output_filename = self.options.get('output_filename', None)
+        if self.output_filename is None and 'output_filename_params' in self.options:
+            # derive the filename from parameter values (reference
+            # ``simulation.py:1062`` fix_output_filenames + ``:1677``)
+            fn_params = self.options.subconfig('output_filename_params')
+            self.output_filename = output_filename_from_dict(
+                self.options,
+                parts=fn_params.get('parts', {}),
+                prefix=fn_params.get('prefix', 'result'),
+                suffix=fn_params.get('suffix', '.pkl'))
         if setup_logging_options:
             log_params = self.options.subconfig('log_params')
             setup_logging(log_params, self.output_filename)
@@ -454,10 +463,15 @@ def run_seq_simulations(sequential, simulation_class='GroundStateSearch',
     """Sequential runs threading the state through a parameter ramp.
 
     ``sequential = {'recursive_keys': [...], 'value_lists': [[...], ...]}``.
-    Reference: ``simulation.py:1454``."""
+    When ``value_lists`` is absent, the values are taken from the simulation
+    options themselves: each ``recursive_keys`` entry must then point at a
+    list (the reference's yaml convention, e.g.
+    ``examples/yaml/sequential_chi_ramp.yml``).  Reference: ``simulation.py:1454``."""
     sequential = dict(sequential)
     keys = sequential['recursive_keys']
-    value_lists = sequential['value_lists']
+    value_lists = sequential.get('value_lists', None)
+    if value_lists is None:
+        value_lists = [get_recursive(simulation_params, key) for key in keys]
     results = []
     resume_data = None
     for values in zip(*value_lists):
