@@ -188,12 +188,28 @@ def _load_ref(chi=CHI):
     from tenpy.models.xxz_chain import XXZChain as RefXXZ
     m = RefXXZ(dict(MODEL_GS))
     sites = m.lat.mps_sites()
-    Bs = [np.asarray(psi_ours.get_B(i, 'B').to_ndarray()) for i in range(2)]
+    # hand the state over with fully explicit charge data (no detection:
+    # zero-weight sectors of the evolved state would defeat
+    # detect_legcharge); our Sz site uses the same (sorted) basis and the
+    # same 2*Sz charge convention as the reference
+    import tenpy.linalg.np_conserved as ref_npc
+    chinfo = sites[0].leg.chinfo
+
+    def ref_leg(leg):
+        return ref_npc.LegCharge.from_qflat(
+            chinfo, np.asarray(leg.to_qflat()), qconj=leg.qconj)
+
+    Bs_npc = []
+    for i in range(2):
+        B = psi_ours.get_B(i, 'B').transpose(['vL', 'p', 'vR'])
+        legs = [ref_leg(B.get_leg('vL')), sites[i].leg,
+                ref_leg(B.get_leg('vR'))]
+        Bn = ref_npc.Array.from_ndarray(np.asarray(B.to_ndarray()), legs,
+                                        cutoff=1e-14)
+        Bn.iset_leg_labels(['vL', 'p', 'vR'])
+        Bs_npc.append(Bn)
     Ss = [np.asarray(psi_ours.get_SL(i)) for i in range(2)]
-    # charge bases: our Sz site uses the same basis/order as the reference
-    # (down, up for sort_charge) — cross-check overlap norm below
-    psi = RefMPS.from_Bflat(sites, Bs, SVs=Ss + [Ss[0]], bc='infinite',
-                            form='B')
+    psi = RefMPS(sites, Bs_npc, Ss + [Ss[0]], bc='infinite', form='B')
     psi.canonical_form()
     if os.environ.get('TEBD_CHECK_E'):
         m_gs = RefXXZ(dict(MODEL_GS))

@@ -47,7 +47,83 @@ from .mps_common import _lanczos_K_2site_packed_impl, BUCKET_MULTIPLE
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['DeviceSweepEngine']
+__all__ = ['DeviceSweepEngine', 'device_ramp']
+
+
+def device_ramp(psi, model, options):
+    """Run the full chi ramp device-resident: staged two-site sweeps.
+
+    Plays the role of the reference's ``chi_list`` ramp with mixer
+    (``tenpy/algorithms/dmrg.py:1142``, ``mps_common.py:2082``), recast for
+    static XLA shapes: each stage is a fresh fixed-capacity
+    :class:`DeviceSweepEngine` at the stage's ``chi``, with the bond layouts
+    rebuilt from the *current* state (re-trace point), widened ``n_hops``
+    update-reachability hops so new charge sectors can be populated, and
+    per-sector capacity extrapolated by ``grow_factor * chi_next/chi_cur``.
+    Two-site updates grow chi into the reserved capacity without an explicit
+    mixer — the staged layout rebuild supplies what the mixer supplies in the
+    reference (reachability of new sectors).
+
+    Options
+    -------
+    chi_list : list of (chi, n_sweeps) or dict {sweep-stage: chi}
+        Stages; default doubles from ``2 * max(psi.chi)`` to ``chi_max``
+        with ``sweeps_per_stage`` sweeps each.
+    chi_max : int
+        Final bond cap (used when ``chi_list`` is absent).
+    sweeps_per_stage : int (default 2)
+    grow_factor : float (default 1.3) — per-sector capacity headroom.
+    n_hops : int (default 3) — sector-reachability widening per stage.
+    Remaining options are forwarded to :class:`DeviceSweepEngine`
+    (``lanczos_K``, ``backend``, ``matvec_mode``, ``e_tol``, ...); the final
+    stage additionally runs ``n_sweeps`` sweeps (default from options) at
+    ``chi_max``.
+
+    Returns the last stage's engine (stats in ``engine.sweep_stats``; the
+    ramped state is written back into ``psi`` after every stage).
+    """
+    opts = dict(options)
+    chi_max = int(opts.pop('chi_max', max(psi.chi)))
+    sweeps_per_stage = int(opts.pop('sweeps_per_stage', 2))
+    grow = float(opts.pop('grow_factor', 1.3))
+    n_hops = int(opts.pop('n_hops', 3))
+    stages = opts.pop('chi_list', None)
+    if stages is None:
+        stages = []
+        c = max(psi.chi)
+        while 2 * c < chi_max:
+            c *= 2
+            stages.append((c, sweeps_per_stage))
+        stages.append((chi_max, sweeps_per_stage))
+    eng = None
+    all_stats = None
+    for k, (chi_s, n_s) in enumerate(stages):
+        stage_opts = dict(opts)
+        stage_opts.update({
+            'chi_max': chi_s,
+            'n_sweeps': n_s if chi_s != stages[-1][0]
+            else max(n_s, int(opts.get('n_sweeps', n_s))),
+            'cap_factor': grow,
+            'n_hops': n_hops,
+        })
+        logger.info("device_ramp stage %d: chi -> %d (%d sweeps)",
+                    k + 1, chi_s, stage_opts['n_sweeps'])
+        if eng is None:
+            eng = DeviceSweepEngine(psi, model, stage_opts)
+        else:
+            # stay device-resident across the stage boundary: re-embed the
+            # packed state + environments into the new capacity layouts
+            eng = DeviceSweepEngine.from_engine(eng, stage_opts)
+        last = chi_s == stages[-1][0] and k == len(stages) - 1
+        eng._write_back_on_run = last   # interior stages skip write_back
+        eng.run()
+        if all_stats is None:
+            all_stats = {k2: list(v) for k2, v in eng.sweep_stats.items()}
+        else:
+            for k2, v in eng.sweep_stats.items():
+                all_stats[k2].extend(v)
+    eng.sweep_stats = all_stats
+    return eng
 
 
 @jax.jit
@@ -94,15 +170,17 @@ def _env_update_R(RP, B, W):
 
 
 def capacity_bond_layouts(psi, chi_max, multiple, cap_factor=1.3,
-                          total_cap_factor=1.5, finite=None):
+                          total_cap_factor=1.5, finite=None, n_hops=2):
     """Fixed padded capacity bond layouts for a device-resident engine.
 
     ``bond[i]`` is the (qconj=+1) vL leg of site ``i`` padded to bucket
-    multiples; interior bonds are widened to every one-update-reachable
+    multiples; interior bonds are widened to every ``n_hops``-update-reachable
     charge sector with per-sector capacity grown by ``cap_factor`` and the
     total capacity budgeted to ``total_cap_factor * chi_max`` (many-sector
-    U(1)^2 layouts explode otherwise).  Shared by
-    :class:`DeviceSweepEngine` and
+    U(1)^2 layouts explode otherwise).  ``n_hops`` > 2 lets a ramp stage
+    populate charge sectors further from the current state's (each widening
+    pass folds the neighbors' previous pass in, one update-reachability hop
+    per pass).  Shared by :class:`DeviceSweepEngine` and
     :class:`~tenpy_tpu.algorithms.packed_tebd.DeviceTEBDEngine`.
 
     Returns ``(bond, psi_leg)``: the capacity layouts and the unpadded legs.
@@ -111,11 +189,6 @@ def capacity_bond_layouts(psi, chi_max, multiple, cap_factor=1.3,
     if finite is None:
         finite = psi.bc == 'finite'
     n_bonds = L + 1 if finite else L
-
-    def _bond(i, bond_list):
-        return bond_list[i if finite else i % L]
-
-    bond = []
     psi_leg = []
     for i in range(n_bonds):
         if finite and i == L:
@@ -125,34 +198,64 @@ def capacity_bond_layouts(psi, chi_max, multiple, cap_factor=1.3,
         if leg.qconj != 1:
             leg = leg.conj()
         psi_leg.append(leg)
-        bond.append(pad_leg(leg, multiple)[0])
+    p_legs = [psi.get_B(i, None).get_leg('p') for i in range(L)]
     qtot = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
-    chinfo = psi_leg[0].chinfo
+    bond = _capacity_layouts(psi_leg, p_legs, qtot, chi_max, multiple,
+                             cap_factor, total_cap_factor, finite, n_hops)
+    return bond, psi_leg
+
+
+def _capacity_layouts(cur_legs, p_legs, qtot, chi_max, multiple, cap_factor,
+                      total_cap_factor, finite, n_hops=2):
+    """Core of :func:`capacity_bond_layouts`, from explicit current legs.
+
+    ``cur_legs[i]``: the current (unpadded, qconj=+1) bond legs — from a host
+    MPS or from a running engine's kept Schmidt directions (stage regrow)."""
+    L = len(p_legs)
+    chinfo = cur_legs[0].chinfo
+
+    def _bond(i, bond_list):
+        return bond_list[i if finite else i % L]
+
+    bond = [pad_leg(leg, multiple)[0] for leg in cur_legs]
     interior = (list(range(1, L)) if finite else list(range(1, L)) + [0])
-    # two passes: capacities are clipped by min(rows, cols) computed from
+    # >= two passes: capacities are clipped by min(rows, cols) computed from
     # the *neighbor* layouts, so neighbors must be widened first for a
-    # growth-capable (chi-ramp) layout
-    for i in interior + interior:
+    # growth-capable (chi-ramp) layout; more passes = more reachability hops
+    for i in interior * max(2, int(n_hops)):
         iL, iR = (i - 1) % L, i % L
+        cur = cur_legs[i if finite else i % L]
         hint = {}
-        for s in range(psi_leg[i].block_number):
-            q = tuple(np.asarray(psi_leg[i].charges[s], QTYPE))
-            n = int(psi_leg[i].slices[s + 1] - psi_leg[i].slices[s])
-            hint[q] = int(np.ceil(n * cap_factor))
-        theta_legs = (_bond(i - 1, bond),
-                      psi.get_B(iL, None).get_leg('p'),
-                      psi.get_B(iR, None).get_leg('p'),
-                      _bond(i + 1, bond).conj())
         floor = {}
-        for s_ in range(psi_leg[i].block_number):
-            q = tuple(np.asarray(psi_leg[i].charges[s_], QTYPE))
-            floor[q] = int(psi_leg[i].slices[s_ + 1] - psi_leg[i].slices[s_])
+        for s in range(cur.block_number):
+            q = tuple(np.asarray(cur.charges[s], QTYPE))
+            n = int(cur.slices[s + 1] - cur.slices[s])
+            hint[q] = int(np.ceil(n * cap_factor))
+            floor[q] = n
+        theta_legs = (_bond(i - 1, bond), p_legs[iL], p_legs[iR],
+                      _bond(i + 1, bond).conj())
         qtotal_th = chinfo.make_valid(qtot[iL] + qtot[iR])
         bond[i if finite else i % L] = ps.bond_layout(
             theta_legs, qtotal_th, qtot[iL], cap_hint=hint, cap_floor=floor,
             chi_cap=chi_max, multiple=multiple,
             total_cap=int(np.ceil(total_cap_factor * chi_max)))
-    return bond, psi_leg
+    return bond
+
+
+def pack_S_from_leg(S_host, leg, bond):
+    """A bond-S vector (in ``leg`` order) padded into ``bond``-layout order."""
+    out = np.zeros(int(bond.slices[-1]))
+    pos = {tuple(np.asarray(bond.charges[b], QTYPE)): b
+           for b in range(bond.block_number)}
+    for s in range(leg.block_number):
+        b = pos.get(tuple(np.asarray(leg.charges[s], QTYPE)))
+        if b is None:
+            continue
+        n = min(int(leg.slices[s + 1] - leg.slices[s]),
+                int(bond.slices[b + 1] - bond.slices[b]))
+        out[int(bond.slices[b]):int(bond.slices[b]) + n] = \
+            S_host[int(leg.slices[s]):int(leg.slices[s]) + n]
+    return jnp.asarray(out)
 
 
 def pack_bond_S(psi, i, bond, finite):
@@ -166,18 +269,7 @@ def pack_bond_S(psi, i, bond, finite):
         leg = psi.get_B(i % L, 'B').get_leg('vL')
     if leg.qconj != 1:
         leg = leg.conj()
-    out = np.zeros(int(bond.slices[-1]))
-    pos = {tuple(np.asarray(bond.charges[b], QTYPE)): b
-           for b in range(bond.block_number)}
-    for s in range(leg.block_number):
-        b = pos.get(tuple(np.asarray(leg.charges[s], QTYPE)))
-        if b is None:
-            continue
-        n = min(int(leg.slices[s + 1] - leg.slices[s]),
-                int(bond.slices[b + 1] - bond.slices[b]))
-        out[int(bond.slices[b]):int(bond.slices[b]) + n] = \
-            S_host[int(leg.slices[s]):int(leg.slices[s]) + n]
-    return jnp.asarray(out)
+    return pack_S_from_leg(S_host, leg, bond)
 
 
 class DeviceSweepEngine:
@@ -199,7 +291,7 @@ class DeviceSweepEngine:
         e_tol : float — stop early when |Delta E| per sweep drops below this.
     """
 
-    def __init__(self, psi, model, options):
+    def __init__(self, psi, model, options, _regrow_from=None):
         self.psi = psi
         self.model = model
         opts = dict(options)
@@ -215,7 +307,14 @@ class DeviceSweepEngine:
         # chi_max: without it, widened U(1)^2 layouts explode (many sectors
         # x min-bucket padding -> multi-GB plans)
         self.total_cap_factor = float(opts.get('total_cap_factor', 1.5))
+        self.n_hops = int(opts.get('n_hops', 2))
         self.lanczos_P_tol = float(opts.get('lanczos_P_tol', 1e-14))
+        # Lanczos cap at the two wrap-seam updates (stale-basis guesses need
+        # more iterations; with P_tol early exit the extra cap is ~free once
+        # converged)
+        self.K_seam = int(opts.get('lanczos_K_seam', max(4 * self.K, 40)))
+        # 'transfer_matrix' (default) | 'naive': how to seed infinite-bc envs
+        self.opts_env_init = opts.get('env_init', 'transfer_matrix')
         self.reortho = bool(opts.get('reortho', False))
         # mixed precision (see packed.matmul_mode): Lanczos iterations in
         # reduced-precision GEMMs; the final `polish_sweeps` sweeps rerun in
@@ -238,7 +337,25 @@ class DeviceSweepEngine:
         self._jit_cache = {}
         self._C = None            # center-matrix carry (site of last update)
         self._M0 = None           # bond-0 basis transition (iDMRG seam)
-        self._setup()
+        if _regrow_from is None:
+            self._setup()
+        else:
+            self._setup_from_engine(_regrow_from)
+
+    @classmethod
+    def from_engine(cls, old, options):
+        """Stage transition for a device-resident chi ramp.
+
+        Build a fresh engine at this ``options``' ``chi_max`` whose packed
+        state (B tensors, bond S) *and environments* are the old engine's,
+        re-embedded into the new capacity layouts — no host write-back, no
+        canonical-form conversions (an ``S^-1`` on ramp-stage noise-floor
+        Schmidt values would poison the state), no environment re-init.
+        Newly reachable charge sectors enter with exact-zero state/env weight
+        and get populated by the sweeps themselves (one reachability hop per
+        update), which is what the reference's mixer provides during its
+        ``chi_list`` ramp (``tenpy/algorithms/dmrg.py:1142``)."""
+        return cls(old.psi, old.model, options, _regrow_from=old)
 
     # ----------------------------------------------------------- indexing
     def _bond(self, i):
@@ -272,7 +389,7 @@ class DeviceSweepEngine:
         # distribution can still shift during the fixed-layout sweeps
         self.bond, _ = capacity_bond_layouts(
             psi, self.chi_max, self.multiple, self.cap_factor,
-            self.total_cap_factor, self.finite)
+            self.total_cap_factor, self.finite, self.n_hops)
 
         self.Bp = []
         self.Wp = []
@@ -287,9 +404,25 @@ class DeviceSweepEngine:
         self.Sp = [self._pack_S(i) for i in range(self.n_bonds)]
         self.Ap = [None] * L
 
-        # environments via the host machinery (one-time init)
-        from ..networks.mpo import MPOEnvironment
-        env = MPOEnvironment(psi, self.model.H_MPO, psi)
+        # environments via the host machinery (one-time init).  For infinite
+        # bc, naive (age-0, IdL-seeded) environments make H_eff the WRONG
+        # operator for many sweeps — its ground state differs from the
+        # converged theta at O(1) until the envs age in (measured: the first
+        # seam-free update on a converged chi=128 Hubbard state rewrote the
+        # bond spectrum entirely, and 8 sweeps still left a 2e-5 energy
+        # offset).  Seed with the MPO transfer-matrix fixed point instead,
+        # exactly like the reference's resume/segment flows
+        # (tenpy/networks/mpo.py find_init_LP_RP).
+        from ..networks.mpo import MPOEnvironment, MPOTransferMatrix
+        init_env_data = {}
+        if not self.finite and self.opts_env_init == 'transfer_matrix':
+            try:
+                init_env_data = MPOTransferMatrix.find_init_LP_RP(
+                    self.model.H_MPO, psi)
+            except (ValueError, NotImplementedError) as e:
+                logger.warning("transfer-matrix env init failed (%s); "
+                               "falling back to age-0 environments", e)
+        env = MPOEnvironment(psi, self.model.H_MPO, psi, **init_env_data)
         self.LPp = [None] * L
         self.RPp = [None] * L
         self.LPp[0] = self._pack_env(env.get_LP(0), 0, 'L')
@@ -297,6 +430,65 @@ class DeviceSweepEngine:
             self.RPp[i] = self._pack_env(env.get_RP(i),
                                          i + 1 if self.finite else (i + 1) % L,
                                          'R')
+
+    def _setup_from_engine(self, old):
+        """Regrow: adopt the old engine's device state/envs in new layouts.
+
+        Every tensor on bond ``i`` is pruned by the *same* keep mask (the
+        final S > 0 slots) and re-embedded sector-prefix-wise, so relative
+        slot alignment between state and environments is preserved exactly;
+        dropped slots carry exact-zero state weight by the engine's design.
+        Stays form-conversion-free (no S^-1 anywhere).
+        """
+        L, finite = self.L, self.finite
+        if (old.L, old.finite) != (L, finite):
+            raise ValueError("from_engine: psi/model mismatch")
+        with pk.transfer_guard():
+            Ss = [np.asarray(jax.device_get(s)) for s in old.Sp]
+        keeps = []
+        for S in Ss:
+            keep = S > 0.
+            if not keep.any():
+                keep[0] = True
+            keeps.append(keep)
+        kept_legs = [old._bond(i).project(keeps[i])[2]
+                     for i in range(self.n_bonds)]
+        p_legs = [old.Bp[i].legs[1] for i in range(L)]
+        self.qtotal_site = list(old.qtotal_site)
+        qtot = [np.asarray(q, QTYPE) for q in self.qtotal_site]
+        self.bond = _capacity_layouts(
+            kept_legs, p_legs, qtot, self.chi_max, self.multiple,
+            self.cap_factor, self.total_cap_factor, finite, self.n_hops)
+
+        def keepm(i):
+            return keeps[i if finite else i % L]
+
+        def reembed(p_arr, ax_bonds):
+            """unpack -> prune by keep masks -> embed into new layout -> pack.
+
+            ``ax_bonds``: dict label -> (bond index, conj?)."""
+            T = pk.unpack(p_arr)
+            grow = {}
+            for lab, (bi, conj) in ax_bonds.items():
+                T = T.iproject(keepm(bi), T.get_leg_index(lab))
+                grow[lab] = self._bond(bi).conj() if conj else self._bond(bi)
+            return pk.pack(embed_array(T, grow), pad=False)
+
+        self.Wp = list(old.Wp)   # layout-independent (wL/wR/p legs only)
+        self.Bp = [reembed(old.Bp[i], {'vL': (i, False), 'vR': (i + 1, True)})
+                   for i in range(L)]
+        self.Sp = [pack_S_from_leg(Ss[i][keeps[i]], kept_legs[i],
+                                   self._bond(i)) for i in range(self.n_bonds)]
+        self.LPp = [reembed(old.LPp[i], {'vR*': (i, False), 'vR': (i, True)})
+                    if old.LPp[i] is not None else None for i in range(L)]
+        self.RPp = [reembed(old.RPp[i], {'vL': (i + 1, False),
+                                         'vL*': (i + 1, True)})
+                    if old.RPp[i] is not None else None for i in range(L)]
+        self.Ap = [None] * L
+        # C is dropped: sweep() re-seeds from S[0] . B[0] (one slightly
+        # worse theta guess per stage; avoids cross-pass slot-mask edge
+        # cases on the old C's vL basis)
+        self._C = None
 
     def _pack_site(self, B, i):
         padded = embed_array(B, {'vL': self._bond(i),
@@ -413,16 +605,23 @@ class DeviceSweepEngine:
                                     ps.scale_bond_plan(self.Bp[0], 'vL'))
         n_each = L - 1 if self.finite else L
         for j in range(n_each):                        # rightward
-            E, err = self._update(j, True)
+            # seam: the rightward wrap update's guess N = Bp[0] carries a
+            # vR basis one half-sweep older than RPp[0]'s (the leftward pass
+            # rewrote bond 1 after Bp[0] was written).  H_eff itself is
+            # consistent (all open legs match the envs); only the *guess*
+            # is partly junk, so give the wrap a deeper Lanczos cap.
+            K = self.K_seam if (not self.finite and j == n_each - 1) else None
+            E, err = self._update(j, True, K=K)
             Es.append(E)
             errs.append(err)
         A_wrap_old = self.Ap[(L - 1) % L]   # rightward wrap output (vR: old bond 0)
         for j in range(n_each):                        # leftward
-            # the final leftward update's theta guess is the one place a
-            # cross-sweep basis mismatch enters (its N = Ap[0] predates this
-            # sweep's LPp[0]); deepen its Lanczos so the guess junk decays
-            # below truncation instead of slowly poisoning the iMPS
-            K = 2 * self.K if (not self.finite and j == n_each - 1) else None
+            # the final leftward update's theta guess is one of the seam
+            # updates whose guess enters in a stale basis (its N = Ap[0]
+            # predates this sweep's LPp[0]); deepen its Lanczos cap so the
+            # guess junk decays below truncation instead of slowly poisoning
+            # the iMPS (the P_tol early exit keeps converged sweeps cheap)
+            K = self.K_seam if (not self.finite and j == n_each - 1) else None
             E, err = self._update(n_each - 1 - j, False, K=K)
             if j == 0 and not self.finite:
                 # the leftward wrap update just rewrote bond 0; record the
@@ -464,7 +663,8 @@ class DeviceSweepEngine:
                     E_prev = None  # E jumps at the precision switch
                 else:
                     break
-        self.write_back()
+        if getattr(self, '_write_back_on_run', True):
+            self.write_back()
         return self.sweep_stats['E'][-1], self.psi
 
     # ----------------------------------------------------------- write-back
