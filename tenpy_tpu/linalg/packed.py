@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from . import np_conserved as npc
+from . import pallas_gemm
 from .charges import QTYPE
 from .padding import pad_leg
 
@@ -531,6 +532,26 @@ _PACKED_MESH = None
 _MATMUL_MODE = None
 _FLOP_SCALE = 1
 FLOPS_TRACED = 0   # trace-time GEMM FLOP counter (see flop_scale)
+# Pallas fused gather->grouped-GEMM->segment-sum kernel (pallas_gemm.py) for
+# the reduced-precision bucket GEMMs; off by default until enabled (env
+# TENPY_TPU_PALLAS=1 or set_pallas_gemm).  _PALLAS_INTERPRET runs the kernel
+# in interpreter mode (CPU differential tests).
+import os as _os
+_PALLAS_GEMM = _os.environ.get('TENPY_TPU_PALLAS', '') not in ('', '0')
+_PALLAS_INTERPRET = _os.environ.get('TENPY_TPU_PALLAS_INTERPRET', '') \
+    not in ('', '0')
+
+
+def set_pallas_gemm(on, interpret=None):
+    """Enable/disable the fused Pallas bucket-GEMM kernel (trace-time switch).
+
+    Applies to reduced-precision (``matmul_mode``) real tensordots on
+    unsharded packed arrays; other paths keep the XLA chain.  ``interpret``
+    optionally toggles interpreter mode (CPU tests)."""
+    global _PALLAS_GEMM, _PALLAS_INTERPRET
+    _PALLAS_GEMM = bool(on)
+    if interpret is not None:
+        _PALLAS_INTERPRET = bool(interpret)
 
 
 from contextlib import contextmanager
@@ -610,7 +631,8 @@ def set_packed_mesh(mesh):
 
 class _PackedPlan:
     __slots__ = ('out_legs', 'out_qtotal', 'out_shapes', 'out_qdatas',
-                 'out_sizes', 'groups', 'assembly')
+                 'out_sizes', 'groups', 'assembly', '_assembly_cache',
+                 '_sorted_cache')
 
     def __init__(self, out_legs, out_qtotal, out_shapes, out_qdatas,
                  out_sizes, groups):
@@ -625,7 +647,47 @@ class _PackedPlan:
         # results (see _plan_assembly) — gather-based, no scatter-add on the
         # hot path (TPU scatters with wide update windows blow the 16 MB
         # scoped-vmem limit at chi >= 2048 and are slow below that)
-        self.assembly = _plan_assembly(out_sizes, groups)
+        self.assembly = _plan_assembly(out_sizes, self._group_rows())
+        self._assembly_cache = {}
+        self._sorted_cache = {}
+
+    def _group_rows(self, fused_mask=None):
+        """Per group ``(so, rows)``: which out rows its contribution holds.
+
+        XLA path: one row per GEMM entry (``o_uniq[o_inv]``); Pallas fused
+        path: the kernel already segment-summed, one row per distinct
+        destination (``o_uniq``)."""
+        rows = []
+        for g_i, (sa, sb, so, mkn, a_pos, b_pos, o_uniq, o_inv) \
+                in enumerate(self.groups):
+            fused = fused_mask is not None and fused_mask[g_i]
+            rows.append((so, np.asarray(o_uniq) if fused
+                         else np.asarray(o_uniq)[np.asarray(o_inv)]))
+        return rows
+
+    def assembly_for(self, fused_mask):
+        """Assembly recipes for a given per-group fused/XLA mix (cached)."""
+        if not any(fused_mask):
+            return self.assembly
+        key = tuple(fused_mask)
+        cached = self._assembly_cache.get(key)
+        if cached is None:
+            cached = _plan_assembly(self.out_sizes, self._group_rows(key))
+            self._assembly_cache[key] = cached
+        return cached
+
+    def sorted_entries(self, g_i):
+        """Segment-sorted (seg, ia, ib) int32 arrays for group ``g_i``
+        (the Pallas kernel's gather/destination indices), cached."""
+        cached = self._sorted_cache.get(g_i)
+        if cached is None:
+            _, _, _, _, a_pos, b_pos, o_uniq, o_inv = self.groups[g_i]
+            order = np.argsort(o_inv, kind='stable')
+            cached = (np.ascontiguousarray(o_inv[order], np.int32),
+                      np.ascontiguousarray(a_pos[order], np.int32),
+                      np.ascontiguousarray(b_pos[order], np.int32))
+            self._sorted_cache[g_i] = cached
+        return cached
 
 
 # out rows with more contributing GEMM entries than this fall back to a
@@ -633,20 +695,21 @@ class _PackedPlan:
 _MAX_GATHER_FANIN = 16
 
 
-def _plan_assembly(out_sizes, groups):
+def _plan_assembly(out_sizes, group_rows):
     """Static assembly recipes: out bucket <- rows of concatenated GEMM results.
 
-    For each out bucket ``so`` the contributing groups' batched GEMM results
-    (flattened to ``(B_g, m*n)``) are concatenated in group order; entry ``t``
-    of group ``g`` lands in out row ``o_uniq[o_inv[t]]``.  The recipe is
+    For each out bucket ``so`` the contributing groups' (flattened
+    ``(B_g, m*n)``) results are concatenated in group order;
+    ``group_rows[g] = (so, rows)`` says which out row each contributed row
+    lands in (see :meth:`_PackedPlan._group_rows`).  The recipe is
     either ``('gather', idx, identity)`` — ``idx[r]`` lists the concat
     positions summed into row ``r`` (padded with the one-past-end zero-row
     sentinel) — or ``('scatter', rows)`` when some row's fan-in exceeds
     :data:`_MAX_GATHER_FANIN`.  ``None`` for buckets nothing contributes to.
     """
     per_so = {}
-    for (sa, sb, so, mkn, a_pos, b_pos, o_uniq, o_inv) in groups:
-        per_so.setdefault(so, []).append(np.asarray(o_uniq)[np.asarray(o_inv)])
+    for so, rows_g in group_rows:
+        per_so.setdefault(so, []).append(rows_g)
     assembly = []
     for so, nsz in enumerate(out_sizes):
         ent = per_so.get(so)
@@ -768,9 +831,33 @@ def tensordot(a, b, axes):
         return jnp.matmul(am, bm)
 
     n_chan = 2 if iscomplex else 1
+    # fused Pallas kernel eligibility (see pallas_gemm.py): real, unsharded,
+    # f32 compute (native f32 or f64 under a reduced-precision matmul_mode)
+    pallas_ok = (_PALLAS_GEMM and not iscomplex and _PACKED_MESH is None
+                 and (buf_dtype == jnp.float32
+                      or (_MATMUL_MODE is not None
+                          and buf_dtype == jnp.float64)))
+    fused_mask = [False] * len(plan.groups)
     contrib = {}   # so -> per-channel lists of (B_g, m, n) GEMM results
-    for (sa, sb, so, (m, kk, n), a_pos, b_pos, o_uniq, o_inv) in plan.groups:
+    for g_i, (sa, sb, so, (m, kk, n), a_pos, b_pos, o_uniq, o_inv) \
+            in enumerate(plan.groups):
         B = len(a_pos)
+        global FLOPS_TRACED
+        if pallas_ok and min(m, kk, n) >= 8 and pallas_gemm.group_fits_vmem(
+                m, kk, n):
+            fused_mask[g_i] = True
+            seg, ia_idx, ib_idx = plan.sorted_entries(g_i)
+            Na, Nb = at.data[sa].shape[0], bt.data[sb].shape[0]
+            c = pallas_gemm.grouped_gemm_segsum(
+                at.data[sa].reshape(Na, m, kk),
+                bt.data[sb].reshape(Nb, kk, n),
+                seg, ia_idx, ib_idx, len(o_uniq),
+                precision='default' if _MATMUL_MODE == 'bf16' else 'highest',
+                interpret=_PALLAS_INTERPRET).astype(buf_dtype)
+            FLOPS_TRACED += _FLOP_SCALE * 2 * B * m * kk * n
+            contrib.setdefault(so, [[]])
+            contrib[so][0].append(c.reshape(len(o_uniq), -1))
+            continue
 
         def gather(buf, pos, new_shape):
             if buf is None:
@@ -811,15 +898,15 @@ def tensordot(a, b, axes):
             t3 = _mm(ar + ai, br + bi)
             cs = [t1 - t2, t3 - t1 - t2]
             n_gemm = 3
-        global FLOPS_TRACED
         FLOPS_TRACED += _FLOP_SCALE * n_gemm * 2 * B * m * kk * n
         contrib.setdefault(so, [[] for _ in range(n_chan)])
         for c, lst in zip(cs, contrib[so]):
             lst.append(c.reshape(B, -1))
 
+    assembly = plan.assembly_for(fused_mask)
     out_chans = [[None] * len(plan.out_shapes) for _ in range(n_chan)]
     for so, (nsz, shape) in enumerate(zip(plan.out_sizes, plan.out_shapes)):
-        recipe = plan.assembly[so]
+        recipe = assembly[so]
         parts = contrib.get(so)
         for ch in range(n_chan):
             if recipe is None or parts is None:
