@@ -2379,6 +2379,16 @@ class TransferMatrix:
         from ..linalg.krylov_based import Arnoldi
         if v0 is None:
             v0 = self.initial_guess()
+            if num_ev > 1:
+                # the identity guess is the *exact* dominant eigenvector of a
+                # canonical-form transfer matrix: Arnoldi's Krylov space then
+                # collapses after one step and subleading eigenvalues (e.g.
+                # correlation lengths) are unreachable.  Mix in a deterministic
+                # random component so the space spans the dominant few.
+                rnd = self.initial_guess()
+                rng = np.random.default_rng(42)
+                rnd._data = [rng.standard_normal(np.shape(b)) for b in rnd._data]
+                v0 = v0 + rnd * (0.5 / max(npc.norm(rnd), 1e-300))
         opts = dict(kwargs)
         opts.setdefault('N_max', max(20, 2 * num_ev + 10))
         opts['which'] = which
