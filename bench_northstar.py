@@ -103,6 +103,11 @@ V5E_BF16_PEAK = 394e12   # TPU v5e peak bf16 FLOP/s (public spec)
 
 def cmd_ours(chi, ramp_on_device=False):
     import jax
+    import logging
+    # per-sweep progress (DeviceSweepEngine logs at INFO) — a run killed
+    # mid-flight still leaves its sweep times/energies in the log
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format='%(asctime)s %(message)s')
     if os.environ.get('OURS_CPU'):   # JAX_PLATFORMS env is ignored under axon
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)

@@ -103,11 +103,15 @@ def _grouped_gemm_segsum(a_src, b_src, seg, ia, ib, *, n_seg, precision,
         num_scalar_prefetch=3,           # seg, ia, ib
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, m, k), lambda i, seg, ia, ib: (ia[i], 0, 0)),
-            pl.BlockSpec((1, k, n), lambda i, seg, ia, ib: (ib[i], 0, 0)),
+            # i * 0 keeps every block coordinate i32: mixed i32/i64 index
+            # tuples fail Mosaic legalization on the AOT (axon) pipeline
+            pl.BlockSpec((1, m, k),
+                         lambda i, seg, ia, ib: (ia[i], i * 0, i * 0)),
+            pl.BlockSpec((1, k, n),
+                         lambda i, seg, ia, ib: (ib[i], i * 0, i * 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, m, n), lambda i, seg, ia, ib: (seg[i], 0, 0)),
+            (1, m, n), lambda i, seg, ia, ib: (seg[i], i * 0, i * 0)),
         scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
     )
     fn = pl.pallas_call(
