@@ -625,6 +625,82 @@ class Array:
         self._set_blocks(qdata, data)
         return self
 
+    def permute(self, perm, axis):
+        """General index permutation on one leg: ``res[i, ...] = self[perm[i], ...]``.
+
+        Mixes charge blocks, so it reassembles every affected block row by
+        row — slow, for small legs (basis reorderings).  For permutations
+        that only reorder whole charge sectors use :meth:`sort_legcharge`.
+        Reference: ``np_conserved.py:1987``.
+        """
+        ax = self.get_leg_index(axis)
+        perm = np.asarray(perm, np.intp)
+        oldleg = self.legs[ax]
+        if len(perm) != oldleg.ind_len or \
+                not np.array_equal(np.sort(perm), np.arange(oldleg.ind_len)):
+            raise ValueError("not a permutation of the leg's indices")
+        qflat_new = np.asarray(oldleg.to_qflat(), QTYPE)[perm]
+        from .charges import LegCharge as _Leg
+        newleg = _Leg.from_qflat(self.chinfo, qflat_new, oldleg.qconj)
+        _, newleg = newleg.bunch()
+        old_slices = np.asarray(oldleg.slices, np.intp)
+        src_qi = np.searchsorted(old_slices, perm, side='right') - 1
+        src_off = perm - old_slices[src_qi]
+        by_old_qi = {}          # old qindex on ax -> list of data indices
+        for d, row in enumerate(self._qdata):
+            by_old_qi.setdefault(int(row[ax]), []).append(d)
+        np_dtype = np.dtype(str(self.dtype))
+        new_blocks = {}         # new qdata row -> ndarray with ax moved front
+        new_slices = np.asarray(newleg.slices, np.intp)
+        host = [np.asarray(b) for b in self._data]
+        for ni in range(newleg.block_number):
+            beg, end = int(new_slices[ni]), int(new_slices[ni + 1])
+            qis, offs = src_qi[beg:end], src_off[beg:end]
+            for qi in np.unique(qis):
+                rows = np.nonzero(qis == qi)[0]
+                for d in by_old_qi.get(int(qi), ()):
+                    row = list(int(x) for x in self._qdata[d])
+                    row[ax] = ni
+                    key = tuple(row)
+                    blk = new_blocks.get(key)
+                    src = np.moveaxis(host[d], ax, 0)
+                    if blk is None:
+                        blk = np.zeros((end - beg,) + src.shape[1:], np_dtype)
+                        new_blocks[key] = blk
+                    blk[rows] = src[offs[rows]]
+        res = self.copy(deep=False)
+        res.legs = self.legs[:ax] + (newleg,) + self.legs[ax + 1:]
+        qdata = np.array(sorted(new_blocks), QTYPE).reshape(-1, self.rank)
+        res._set_blocks(qdata, [np.moveaxis(new_blocks[tuple(int(x) for x in r)],
+                                            0, ax) for r in qdata])
+        return res
+
+    def sort_legcharge(self, sort=True, bunch=True):
+        """Sort/bunch the charge sectors of every leg; returns ``(perms, res)``.
+
+        ``perms[a]`` is the flat permutation applied to leg ``a`` such that
+        ``res[i0, i1, ...] = self[perms[0][i0], perms[1][i1], ...]``; pass
+        ``sort=[bool per leg]`` to restrict.  Built on :meth:`permute` (one
+        pass per unsorted leg).  Reference: ``np_conserved.py:1372``.
+        """
+        sort = [sort] * self.rank if isinstance(sort, bool) else list(sort)
+        res = self.copy(deep=False)
+        perms = []
+        for ax in range(self.rank):
+            leg = res.legs[ax]
+            if not sort[ax] or leg.block_number <= 1:
+                perms.append(np.arange(leg.ind_len))
+                continue
+            perm_flat, _ = leg.sort(bunch=bunch)
+            perms.append(perm_flat)
+            already_done = (np.array_equal(perm_flat, np.arange(leg.ind_len))
+                            and (not bunch
+                                 or leg.bunch()[1].block_number
+                                 == leg.block_number))
+            if not already_done:
+                res = res.permute(perm_flat, ax)
+        return perms, res
+
     def transpose(self, perm=None):
         return self.copy(deep=False).itranspose(perm)
 

@@ -280,3 +280,24 @@ def test_enlarge_chi():
     assert np.allclose(np.real(np.asarray(psi.expectation_value('Sz'))), Sz0,
                        atol=1e-12)
     assert int(np.sum(np.asarray(psi.get_SL(3)) == 0.)) == 2
+
+
+def test_enlarge_chi_infinite_wrap_bond():
+    """enlarge_chi on infinite bc, including the unit-cell wrap bond b=0."""
+    psi = MPS.from_product_state([spin_half] * 2, ['up', 'down'],
+                                 bc='infinite')
+    from tenpy_tpu.models.spins import SpinChain
+    from tenpy_tpu.algorithms import dmrg
+    m = SpinChain({'S': 0.5, 'L': 2, 'Jz': 1., 'Jx': 1., 'Jy': 1.,
+                   'bc_MPS': 'infinite', 'conserve': 'Sz'})
+    dmrg.TwoSiteDMRGEngine(psi, m, {'trunc_params': {'chi_max': 8,
+                                                     'svd_min': 1e-10},
+                                    'max_sweeps': 10}).run()
+    Sz0 = np.real(np.asarray(psi.expectation_value('Sz'))).copy()
+    psi.enlarge_chi([2, 2])           # both bonds, incl. wrap bond b=0
+    psi.test_sanity()
+    assert float(np.max(np.asarray(psi.norm_test()))) < 1e-10
+    assert np.allclose(np.real(np.asarray(psi.expectation_value('Sz'))), Sz0,
+                       atol=1e-10)
+    assert int(np.sum(np.asarray(psi.get_SL(0)) == 0.)) == 2
+    assert int(np.sum(np.asarray(psi.get_SL(1)) == 0.)) == 2

@@ -277,3 +277,50 @@ def test_gauge_total_charge_roundtrip():
     assert np.array_equal(g.qtotal, new_q)
     # dense content unchanged
     np.testing.assert_allclose(g.to_ndarray(), a.to_ndarray(), atol=0)
+
+
+def test_permute():
+    """Array.permute: res[i, ...] = self[perm[i], ...] vs the dense oracle.
+
+    Reference coverage analogue: tests/test_np_conserved.py:177
+    (test_npc_Array_permute)."""
+    for qn, chinfo in enumerate((chinfo_U1, chinfo_Z2, chinfo_U1_Z3)):
+        a = random_Array([9, 7], chinfo)
+        legs = a.legs
+        dense = a.to_ndarray()
+        rng_l = np.random.default_rng(17 + qn)
+        for ax in range(2):
+            perm = rng_l.permutation(legs[ax].ind_len)
+            b = a.permute(perm, ax)
+            b.test_sanity()
+            expect = np.take(dense, perm, axis=ax)
+            assert np.allclose(b.to_ndarray(), expect, atol=1e-14)
+    # invalid permutation rejected
+    with pytest.raises(ValueError):
+        a.permute(np.zeros(legs[0].ind_len, int), 0)
+
+
+def test_sort_legcharge():
+    """sort_legcharge sorts+bunches every leg and returns the flat perms.
+
+    Reference coverage analogue: tests/test_np_conserved.py:87
+    (test_npc_Array_sort)."""
+    chinfo = chinfo_U1
+    # deliberately unsorted, unbunched qflat
+    leg1 = LegCharge.from_qflat(chinfo, [[1], [-1], [0], [0], [2], [-1], [0]])
+    leg2 = LegCharge.from_qflat(chinfo, [[0], [1], [1], [-1], [0]])
+    a = npc.Array.from_func(lambda size: rng.normal(size=size),
+                            [leg1, leg2], dtype=jnp.float64, qtotal=[0])
+    dense = a.to_ndarray()
+    perms, s = a.sort_legcharge(True, True)
+    s.test_sanity()
+    for leg in s.legs:
+        q = np.asarray(leg.charges)
+        assert np.all(np.lexsort(q.T) == np.arange(len(q)))     # sorted
+        assert leg.bunch()[1].block_number == leg.block_number  # bunched
+    expect = dense[np.ix_(perms[0], perms[1])]
+    assert np.allclose(s.to_ndarray(), expect, atol=1e-14)
+    # partial sort: only leg 1
+    perms2, s2 = a.sort_legcharge([False, True], True)
+    assert np.array_equal(perms2[0], np.arange(leg1.ind_len))
+    assert np.allclose(s2.to_ndarray(), dense[:, perms2[1]], atol=1e-14)

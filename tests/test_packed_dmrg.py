@@ -219,3 +219,30 @@ def test_device_sweep_infinite():
         'trunc_params': {'chi_max': 24, 'svd_min': 1e-12}, 'max_sweeps': 1})
     E_check, _ = eng2.run()
     assert abs(E_check - E_ref) < 1e-7
+
+
+def test_device_ramp_staged():
+    """device_ramp: the staged fixed-capacity chi ramp (the reference's
+    chi_list-with-mixer analogue) grows a small state to the target chi fully
+    device-side and reaches the host-DMRG energy.
+
+    Reference machinery being mirrored: ``tenpy/algorithms/dmrg.py:1142``
+    (chi_list) + ``mps_common.py:2082`` (subspace expansion)."""
+    from tenpy_tpu.algorithms.packed_dmrg import device_ramp
+    m, psi, _ = _ramped_state(L=8, chi=4, sweeps=2, bc='finite')
+    psi_ref = psi.copy()
+    eng_ref = dmrg.TwoSiteDMRGEngine(psi_ref, m, {
+        'trunc_params': {'chi_max': 32, 'svd_min': 1e-12},
+        'max_sweeps': 20, 'mixer': True})
+    E_ref, _ = eng_ref.run()
+
+    eng = device_ramp(psi, m, {'chi_max': 32, 'svd_min': 1e-12,
+                               'lanczos_K': 10, 'sweeps_per_stage': 3,
+                               'n_sweeps': 10, 'multiple': 8})
+    psi.test_sanity()
+    assert max(psi.chi) > 8           # actually grew past the seed layout
+    E_dev = eng.sweep_stats['E'][-1]
+    # staged layout rebuilds replace the mixer: slightly slower tail
+    # convergence than mixer-DMRG at equal sweep counts — 1e-6 relative is
+    # the machinery check here, exact parity is test_device_sweep_finite
+    assert abs(E_dev - E_ref) < 1e-6 * max(1., abs(E_ref)), (E_dev, E_ref)
