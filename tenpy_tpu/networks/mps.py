@@ -1571,7 +1571,16 @@ class MPS:
             etas2 = etas[1:]
         else:
             etas2 = etas
-        xi = -self.L / np.log(np.abs(etas2[:target]))
+        if charge_sector == 0 or charge_sector is None:
+            if np.abs(etas2[0]) > 1. - 1e-10:
+                warnings.warn(
+                    "degenerate dominant transfer-matrix eigenvalue: the state "
+                    "is non-injective (symmetry-broken cat state with "
+                    "long-range order); the reported correlation length "
+                    "diverges")
+        abs_etas = np.abs(etas2[:target])
+        with np.errstate(divide='ignore'):
+            xi = np.where(abs_etas >= 1., np.inf, -self.L / np.log(abs_etas))
         if target == 1:
             return float(xi[0])
         return xi
@@ -2314,6 +2323,26 @@ class MPSEnvironment(BaseEnvironment):
     """
 
 
+class _DeflatedLinearOperator:
+    """``(1-P) T (1-P)`` with ``P`` the projector onto span of found eigenvectors.
+
+    Used by :meth:`TransferMatrix.eigenvectors` to recover degenerate copies of
+    dominant eigenvalues that a single-vector Krylov space cannot contain.
+    """
+
+    def __init__(self, op, basis):
+        self.op = op
+        self.basis = basis
+
+    def project(self, v):
+        for u in self.basis:
+            v = v - complex(npc.inner(u.conj(), v, axes='range')) * u
+        return v
+
+    def matvec(self, v):
+        return self.project(self.op.matvec(self.project(v)))
+
+
 class TransferMatrix:
     r"""(Partial) transfer matrix of <bra|ket>, as a linear operator on 2-leg Arrays.
 
@@ -2398,7 +2427,33 @@ class TransferMatrix:
             eta, vec, N = eng.run()
             return np.array([eta]), [vec]
         etas, vecs, N = eng.run()
-        return np.asarray(etas), vecs
+        etas = list(np.asarray(etas))
+        vecs = list(vecs)
+        # Single-vector Krylov spaces contain exactly ONE vector per *distinct*
+        # eigenvalue: a degenerate dominant subspace (e.g. the doubly-degenerate
+        # |eta|=1 of a non-injective "cat" iMPS with long-range order) is
+        # invisible to the first pass.  Run a second Arnoldi pass on the
+        # operator deflated against the converged eigenvectors: for semisimple
+        # degeneracies the orthogonal complement of a found eigenvector inside
+        # the degenerate eigenspace is an exact eigenpair of the deflated
+        # operator, so the missing copies (and any genuinely-next eigenvalues)
+        # show up there.  Merge and keep the num_ev largest.
+        from ..linalg.krylov_based import gram_schmidt
+        basis = gram_schmidt([v.copy() for v in vecs])
+        deflated = _DeflatedLinearOperator(self, basis)
+        rnd = self.initial_guess()
+        rng = np.random.default_rng(7)
+        rnd._data = [rng.standard_normal(np.shape(b)).astype(
+            np.dtype(str(rnd.dtype))) for b in rnd._data]
+        v1 = deflated.project(rnd)
+        nrm = npc.norm(v1)
+        if nrm > 1e-12:
+            eng2 = Arnoldi(deflated, v1 / nrm, opts)
+            etas2, vecs2, _ = eng2.run()
+            etas += list(np.asarray(etas2))
+            vecs += list(vecs2)
+        order = np.argsort(-np.abs(np.asarray(etas)))[:num_ev]
+        return (np.asarray(etas)[order], [vecs[i] for i in order])
 
 
 # ======================================================================== initial states

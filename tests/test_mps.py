@@ -301,3 +301,30 @@ def test_enlarge_chi_infinite_wrap_bond():
                        atol=1e-10)
     assert int(np.sum(np.asarray(psi.get_SL(0)) == 0.)) == 2
     assert int(np.sum(np.asarray(psi.get_SL(1)) == 0.)) == 2
+
+
+def test_transfer_matrix_degenerate_cat():
+    """Regression: a non-injective (cat) iMPS has a doubly-degenerate TM
+    eigenvalue 1; single-vector Arnoldi misses the second copy, so
+    ``eigenvectors`` runs a deflated second pass to recover it and
+    ``correlation_length`` must warn + return inf instead of silently
+    reporting the sub-dominant mode as a finite correlation length."""
+    import warnings
+    from tenpy_tpu.networks.site import SpinHalfSite
+
+    site = SpinHalfSite(conserve=None)
+    # infinite GHZ (cat) MPS: chi=2, B^up = diag(1,0), B^down = diag(0,1)
+    B = np.zeros((2, 2, 2))  # vL p vR
+    B[0, 0, 0] = 1.
+    B[1, 1, 1] = 1.
+    S = np.ones(2) / np.sqrt(2)
+    psi = MPS.from_Bflat([site], [B], SVs=[S, S], bc='infinite')
+    TM = TransferMatrix(psi, psi, transpose=False, charge_sector=0)
+    etas, vecs = TM.eigenvectors(num_ev=2)
+    assert abs(abs(etas[0]) - 1.) < 1e-10
+    assert abs(abs(etas[1]) - 1.) < 1e-10
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        xi = psi.correlation_length()
+    assert xi == np.inf
+    assert any('non-injective' in str(w.message) for w in caught)
