@@ -47,7 +47,128 @@ from .mps_common import _lanczos_K_2site_packed_impl, BUCKET_MULTIPLE
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['DeviceSweepEngine', 'device_ramp']
+__all__ = ['DeviceSweepEngine', 'device_ramp', 'uniformize_charge_gauge',
+           'uniform_capacity_layout']
+
+
+def uniformize_charge_gauge(psi):
+    """Regauge the charge bookkeeping of an infinite MPS so all bonds match.
+
+    In a charge-conserving iMPS the bond-leg charge values drift site to site
+    (each site's block charge shifts them), so every (site, direction) pair
+    compiles its own XLA program even when the physics is translation
+    invariant.  This applies the pure *gauge* transformation
+
+        ``q_bond[j] -> q_bond[j] - o_j``,   ``o_{j+1} = o_j - qtotal_j + Q/L``
+
+    (``Q`` = total unit-cell charge), which leaves every block and singular
+    value untouched but makes each site's ``qtotal`` equal to ``Q/L`` and
+    brings all bond legs into one common charge frame.  With a shared
+    capacity layout (:func:`uniform_capacity_layout`) the whole sweep then
+    reuses ~2 compiled programs instead of ``2 L``.
+
+    Only applies when every charge is U(1) (``mod == 1``; modular wrapping
+    would reorder sectors) and ``Q`` is divisible by ``L``.  Returns True if
+    the gauge was applied (psi modified in place), False otherwise.
+    """
+    if psi.bc == 'finite':
+        return False
+    L = psi.L
+    chinfo = psi.sites[0].leg.chinfo
+    if chinfo.qnumber == 0:
+        return True   # trivially uniform
+    if not np.all(np.asarray(chinfo.mod) == 1):
+        return False
+    qtots = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
+    Q = np.sum(qtots, axis=0)
+    if np.any(Q % L != 0):
+        return False
+    qeff = Q // L
+    o = [np.zeros_like(qeff)]
+    for i in range(L - 1):
+        o.append(o[i] - qtots[i] + qeff)
+    if all(np.all(oi == 0) for oi in o):
+        return True   # already uniform
+    new_bond_leg = {}
+
+    def shifted(leg, j):
+        key = (id(leg), j)
+        if key not in new_bond_leg:
+            new_bond_leg[key] = LegCharge(
+                leg.chinfo, leg.slices,
+                chinfo.make_valid(np.asarray(leg.charges, QTYPE) - o[j % L]),
+                leg.qconj)
+        return new_bond_leg[key]
+
+    for i in range(L):
+        B = psi._B[i]
+        iL = B.get_leg_index('vL')
+        iR = B.get_leg_index('vR')
+        legs = list(B.legs)
+        delta = (-o[i % L] * legs[iL].qconj
+                 - o[(i + 1) % L] * legs[iR].qconj)
+        legs[iL] = shifted(legs[iL], i)
+        legs[iR] = shifted(legs[iR], i + 1)
+        B.legs = type(B.legs)(legs)
+        B.qtotal = tuple(int(q) for q in chinfo.make_valid(
+            np.asarray(B.qtotal, QTYPE) + delta))
+    return True
+
+
+def uniform_capacity_layout(psi, chi_max, multiple, cap_factor=1.3,
+                            total_cap_factor=1.5, n_hops=2):
+    """One shared capacity bond layout for all bonds of a regauged iMPS.
+
+    Requires :func:`uniformize_charge_gauge` to have succeeded (all bond legs
+    in a common charge frame, all site qtotals equal) and all sites identical.
+    The layout is the union of every bond's current sectors (per-sector
+    capacity = max over bonds), widened by the same update-reachability
+    passes as :func:`capacity_bond_layouts` — computed ONCE since every
+    interior bond sees identical inputs.
+
+    Returns ``(bond, psi_legs)`` like :func:`capacity_bond_layouts`, with
+    ``bond[i]`` the *same* LegCharge object for every ``i`` (so packed
+    structure signatures and split plans coincide across sites and the jitted
+    sweep programs collapse to one per direction).
+    """
+    L = psi.L
+    chinfo = psi.sites[0].leg.chinfo
+    p_legs = [psi.get_B(i, None).get_leg('p') for i in range(L)]
+    if any(leg != p_legs[0] for leg in p_legs[1:]):
+        raise ValueError("uniform layout needs identical physical legs")
+    qtots = [np.asarray(psi.get_B(i, None).qtotal, QTYPE) for i in range(L)]
+    if any(np.any(q != qtots[0]) for q in qtots[1:]):
+        raise ValueError("uniform layout needs equal site qtotals "
+                         "(run uniformize_charge_gauge first)")
+    qeff = qtots[0]
+    psi_legs = []
+    for i in range(L):
+        leg = psi.get_B(i, 'B').get_leg('vL')
+        if leg.qconj != 1:
+            leg = leg.conj()
+        psi_legs.append(leg)
+    # union of current sectors with max capacity
+    floor = {}
+    for leg in psi_legs:
+        for s in range(leg.block_number):
+            q = tuple(np.asarray(leg.charges[s], QTYPE))
+            n = int(leg.slices[s + 1] - leg.slices[s])
+            floor[q] = max(floor.get(q, 0), n)
+    from ..linalg.padding import bucket_size
+    charges = sorted(floor)
+    sizes = [bucket_size(floor[q], multiple) for q in charges]
+    U = LegCharge(chinfo,
+                  np.concatenate([[0], np.cumsum(sizes)]).astype(np.intp),
+                  np.array(charges, QTYPE).reshape(len(charges),
+                                                   chinfo.qnumber), 1)
+    hint = {q: int(np.ceil(n * cap_factor)) for q, n in floor.items()}
+    qtotal_th = chinfo.make_valid(2 * qeff)
+    for _ in range(max(2, int(n_hops))):
+        U = ps.bond_layout((U, p_legs[0], p_legs[0], U.conj()), qtotal_th,
+                           qeff, cap_hint=hint, cap_floor=floor,
+                           chi_cap=chi_max, multiple=multiple,
+                           total_cap=int(np.ceil(total_cap_factor * chi_max)))
+    return [U] * L, psi_legs
 
 
 def device_ramp(psi, model, options):
@@ -308,6 +429,7 @@ class DeviceSweepEngine:
         # x min-bucket padding -> multi-GB plans)
         self.total_cap_factor = float(opts.get('total_cap_factor', 1.5))
         self.n_hops = int(opts.get('n_hops', 2))
+        self.uniform_bonds = bool(opts.get('uniform_bonds', True))
         self.lanczos_P_tol = float(opts.get('lanczos_P_tol', 1e-14))
         # Lanczos cap at the two wrap-seam updates (stale-basis guesses need
         # more iterations; with P_tol early exit the extra cap is ~free once
@@ -386,10 +508,31 @@ class DeviceSweepEngine:
         # fixed padded capacity layouts, widened to every one-update-reachable
         # charge sector (weight in a sector outside the layout would be
         # hard-dropped), per-sector capacity grown by cap_factor so the sector
-        # distribution can still shift during the fixed-layout sweeps
-        self.bond, _ = capacity_bond_layouts(
-            psi, self.chi_max, self.multiple, self.cap_factor,
-            self.total_cap_factor, self.finite, self.n_hops)
+        # distribution can still shift during the fixed-layout sweeps.
+        # For translation-invariant infinite problems, regauge the charge
+        # bookkeeping and share ONE layout across all bonds: every
+        # (site, direction) update then has an identical packed structure and
+        # the sweep reuses ~2 compiled XLA programs instead of 2L (the cold
+        # -start compile through a remote tunnel is minutes per program).
+        self.bond = None
+        if self.uniform_bonds and not self.finite:
+            try:
+                if uniformize_charge_gauge(psi):
+                    self.bond, _ = uniform_capacity_layout(
+                        psi, self.chi_max, self.multiple, self.cap_factor,
+                        self.total_cap_factor, self.n_hops)
+                    logger.info(
+                        "uniform bond layout: %d sectors, capacity %d "
+                        "(one compiled program per sweep direction)",
+                        self.bond[0].block_number,
+                        int(self.bond[0].slices[-1]))
+            except ValueError as e:
+                logger.info("uniform bond layout not applicable (%s); "
+                            "falling back to per-bond layouts", e)
+        if self.bond is None:
+            self.bond, _ = capacity_bond_layouts(
+                psi, self.chi_max, self.multiple, self.cap_factor,
+                self.total_cap_factor, self.finite, self.n_hops)
 
         self.Bp = []
         self.Wp = []
