@@ -679,25 +679,39 @@ class Array:
         """Sort/bunch the charge sectors of every leg; returns ``(perms, res)``.
 
         ``perms[a]`` is the flat permutation applied to leg ``a`` such that
-        ``res[i0, i1, ...] = self[perms[0][i0], perms[1][i1], ...]``; pass
-        ``sort=[bool per leg]`` to restrict.  Built on :meth:`permute` (one
-        pass per unsorted leg).  Reference: ``np_conserved.py:1372``.
+        ``res[i0, i1, ...] = self[perms[0][i0], perms[1][i1], ...]``.
+        ``sort`` may be one bool, or one entry per leg where each entry is a
+        bool or an explicit flat permutation to apply to that leg; ``bunch``
+        is one bool or one bool per leg.  Legs with ``sort=False`` but
+        ``bunch=True`` are still bunched (contiguous equal-charge sectors
+        merged), matching the reference semantics.  Built on :meth:`permute`
+        (one pass per affected leg).  Reference: ``np_conserved.py:1372``.
         """
         sort = [sort] * self.rank if isinstance(sort, bool) else list(sort)
+        bunch = [bunch] * self.rank if isinstance(bunch, bool) else list(bunch)
+        if len(sort) != self.rank or len(bunch) != self.rank:
+            raise ValueError("wrong len for sort or bunch")
         res = self.copy(deep=False)
         perms = []
         for ax in range(self.rank):
             leg = res.legs[ax]
-            if not sort[ax] or leg.block_number <= 1:
-                perms.append(np.arange(leg.ind_len))
+            s = sort[ax]
+            if not isinstance(s, bool):
+                # explicit permutation for this leg (reference parity);
+                # permute() bunches the resulting leg as a side effect
+                perm_flat = np.asarray(s, np.intp)
+                perms.append(perm_flat)
+                res = res.permute(perm_flat, ax)
                 continue
-            perm_flat, _ = leg.sort(bunch=bunch)
+            if s and leg.block_number > 1:
+                perm_flat, _ = leg.sort(bunch=bunch[ax])
+            else:
+                perm_flat = np.arange(leg.ind_len)
             perms.append(perm_flat)
-            already_done = (np.array_equal(perm_flat, np.arange(leg.ind_len))
-                            and (not bunch
-                                 or leg.bunch()[1].block_number
-                                 == leg.block_number))
-            if not already_done:
+            needs_bunch = (bunch[ax] and leg.block_number > 1
+                           and leg.bunch()[1].block_number != leg.block_number)
+            if not np.array_equal(perm_flat, np.arange(leg.ind_len)) \
+                    or needs_bunch:
                 res = res.permute(perm_flat, ax)
         return perms, res
 

@@ -547,7 +547,19 @@ def set_pallas_gemm(on, interpret=None):
 
     Applies to reduced-precision (``matmul_mode``) real tensordots on
     unsharded packed arrays; other paths keep the XLA chain.  ``interpret``
-    optionally toggles interpreter mode (CPU tests)."""
+    optionally toggles interpreter mode (CPU tests).
+
+    Caveats:
+
+    - **stale jit caches**: this is a trace-time switch, and ``jax.jit``
+      keys on avals only — callables already traced/compiled before the
+      toggle silently keep their old path.  Flip it before the first call
+      of an engine/program, not mid-session.
+    - **f32 accumulation**: under ``matmul_mode`` on f64 arrays the fused
+      kernel segment-sums bucket contributions in f32 VMEM before the final
+      upcast, whereas the XLA chain upcasts each GEMM result to f64 before
+      the assembly gather-sum; very high fan-in groups lose a few bits of
+      accumulation accuracy on the fused path."""
     global _PALLAS_GEMM, _PALLAS_INTERPRET
     _PALLAS_GEMM = bool(on)
     if interpret is not None:
@@ -852,7 +864,13 @@ def tensordot(a, b, axes):
                 at.data[sa].reshape(Na, m, kk),
                 bt.data[sb].reshape(Nb, kk, n),
                 seg, ia_idx, ib_idx, len(o_uniq),
-                precision='default' if _MATMUL_MODE == 'bf16' else 'highest',
+                # same precision rule as _mm: bf16x6 ('highest') only for the
+                # f64-under-f32-mode regime; native f32 (and bf16 mode) keep
+                # the default single-pass GEMM so toggling TENPY_TPU_PALLAS
+                # never changes accuracy or GEMM cost
+                precision=('highest' if (_MATMUL_MODE == 'f32'
+                                         and buf_dtype == jnp.float64)
+                           else 'default'),
                 interpret=_PALLAS_INTERPRET).astype(buf_dtype)
             FLOPS_TRACED += _FLOP_SCALE * 2 * B * m * kk * n
             contrib.setdefault(so, [[]])

@@ -1586,6 +1586,116 @@ class MPS:
         return xi
 
     # ---------------------------------------------------------------- mutation
+    def subspace_expansion(self, expand_into=(), trunc_par=None):
+        """Enlarge every bond basis without changing the represented state; in place.
+
+        Sweeping right-to-left (following Yang & White, arXiv:2005.06104),
+        the right-canonical basis of each site's ``(p, vR)`` super-leg is
+        extended by directions *orthogonal* to the state: either the most
+        important directions of the states in ``expand_into`` (a list of
+        same-length MPS), or — if none are given — random orthogonal
+        directions.  The new Schmidt values are exact zeros, so ``self``
+        still represents the same physical state, but single-site algorithms
+        (TDVP, 1-site DMRG) gain room to explore.  Finite bc only.
+
+        Returns the :class:`~tenpy_tpu.linalg.truncation.TruncationError`
+        from cutting the expansion density matrix's spectrum down to the
+        per-bond budget ``trunc_par['chi_max'] - chi_current``.
+
+        Reference: ``tenpy/networks/mps.py:5160``.
+        """
+        from ..tools.params import asConfig
+        from ..linalg.truncation import eigh_rho
+        if self.bc != 'finite':
+            raise ValueError("subspace_expansion requires finite bc")
+        L = self.L
+        assert L >= 2
+        psis = [self] + list(expand_into)
+        for other in psis[1:]:
+            if other.L != L or other.bc != self.bc:
+                raise ValueError("expand_into states must match self's "
+                                 "length and boundary conditions")
+        trunc_par = asConfig(trunc_par if trunc_par is not None
+                             else {'svd_min': 1e-8}, 'trunc_params')
+        chi_max = trunc_par.get('chi_max', 100)
+        err = TruncationError()
+        rng = np.random.default_rng(12345)
+
+        # C-tensors: everything right of the working bond absorbed into one
+        # center tensor per state (legs vL p vR), starting at the last site
+        Cs = [p.get_theta(L - 1, n=1).replace_label('p0', 'p') for p in psis]
+        for j in range(L - 1, 0, -1):
+            chi_now = Cs[0].get_leg('vL').ind_len
+            budget = int(chi_max) - chi_now
+            C0 = Cs[0].combine_legs(['p', 'vR'])
+            # right-isometric basis currently spanned by the state
+            _, exactB = npc.lq(C0, inner_labels=['vR', 'vL'])
+            lbl_bra, lbl_ket = '(p*.vR*)', '(p.vR)'
+            gram = npc.tensordot(exactB.conj(), exactB,
+                                 axes=(['vL*'], ['vL']))  # legs bra, ket
+            proj = npc.eye_like(gram, labels=gram.get_leg_labels()) - gram
+            extra = None
+            if npc.norm(proj) > 1e-12 and budget > 0:
+                if len(Cs) > 1:
+                    rho = None
+                    for C in Cs[1:]:
+                        Ck = C.combine_legs(['p', 'vR'])
+                        r = npc.tensordot(Ck.conj(), Ck,
+                                          axes=(['vL*'], ['vL']))
+                        rho = r if rho is None else rho + r
+                else:
+                    # random positive matrix G G^H on the (p.vR) space:
+                    # eigh of its projection yields random orthonormal
+                    # directions in the orthogonal complement
+                    cplx = jnp.issubdtype(Cs[0].dtype, jnp.complexfloating)
+
+                    def _randn(shape):
+                        x = rng.standard_normal(shape)
+                        if cplx:
+                            x = x + 1j * rng.standard_normal(shape)
+                        return x
+
+                    G = npc.Array.from_func(
+                        _randn, [proj.legs[0], proj.legs[1]],
+                        labels=[lbl_bra, lbl_ket])
+                    rho = npc.tensordot(G, G.conj(), axes=[[1], [1]])
+                nrm = npc.norm(rho)
+                if nrm > 0.:
+                    rho = rho * (1. / nrm)
+                rho = npc.tensordot(npc.tensordot(proj, rho,
+                                                  axes=([lbl_ket], [lbl_bra])),
+                                    proj, axes=([lbl_ket], [lbl_bra]))
+                if npc.norm(rho) > 1e-12:
+                    tp = {k: v for k, v in trunc_par.as_dict().items()}
+                    tp['chi_max'] = budget
+                    _, V, err_j, _ = eigh_rho(rho, tp, sort='m>')
+                    if V.get_leg(1).ind_len > 0:
+                        extra = V.conj().itranspose([1, 0])
+                        extra.iset_leg_labels(['vL', lbl_ket])
+                        err += err_j
+            if extra is not None:
+                newB = npc.concatenate([exactB, extra], axis='vL')
+            else:
+                newB = exactB
+            newB = newB.split_legs()
+            # pull the working bond one site left in every state
+            newCs = []
+            for psi_i, C in zip(psis, Cs):
+                ov = npc.tensordot(C, newB.conj(),
+                                   axes=(['p', 'vR'], ['p*', 'vR*']))
+                ov = ov.replace_label('vL*', 'vR')
+                newCs.append(npc.tensordot(psi_i.get_B(j - 1, form='A'), ov,
+                                           axes=(['vR'], ['vL'])))
+            Cs = newCs
+            self.set_B(j, newB, form='B')
+            S = np.asarray(self.get_SL(j))
+            grow = newB.get_leg('vL').ind_len - chi_now
+            if grow > 0:
+                self.set_SL(j, np.concatenate([S, np.zeros(grow)]))
+        self.set_B(0, Cs[0], form='B')
+        self.test_sanity()
+        return err
+
     def apply_local_op(self, i, op, unitary=None, renormalize=False, cutoff=1e-13,
                        understood_infinite=False):
         """Apply a local (1- or multi-site) operator at site i. Reference: ``mps.py:5275``."""
@@ -2416,7 +2526,8 @@ class TransferMatrix:
                 # random component so the space spans the dominant few.
                 rnd = self.initial_guess()
                 rng = np.random.default_rng(42)
-                rnd._data = [rng.standard_normal(np.shape(b)) for b in rnd._data]
+                rnd._data = [rng.standard_normal(np.shape(b)).astype(
+                    np.dtype(str(rnd.dtype))) for b in rnd._data]
                 v0 = v0 + rnd * (0.5 / max(npc.norm(rnd), 1e-300))
         opts = dict(kwargs)
         opts.setdefault('N_max', max(20, 2 * num_ev + 10))

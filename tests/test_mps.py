@@ -282,6 +282,41 @@ def test_enlarge_chi():
     assert int(np.sum(np.asarray(psi.get_SL(3)) == 0.)) == 2
 
 
+def test_subspace_expansion():
+    """subspace_expansion grows chi but leaves the state invariant.
+
+    Reference analogue: tenpy/networks/mps.py:5160 (used by 1-site TDVP)."""
+    from tenpy_tpu.models.spins import SpinChain
+    from tenpy_tpu.algorithms import dmrg
+    m = SpinChain({'S': 0.5, 'L': 6, 'Jz': 1., 'Jx': 1., 'Jy': 1.,
+                   'bc_MPS': 'finite', 'conserve': 'Sz'})
+    psi = MPS.from_product_state(m.lat.mps_sites(), ['up', 'down'] * 3,
+                                 bc='finite')
+    dmrg.TwoSiteDMRGEngine(psi, m, {'trunc_params': {'chi_max': 4,
+                                                     'svd_min': 1e-10},
+                                    'max_sweeps': 8}).run()
+    ref = psi.copy()
+    Sz0 = np.real(np.asarray(psi.expectation_value('Sz'))).copy()
+    chi0 = list(psi.chi)
+    # random expansion
+    psi.subspace_expansion(trunc_par={'chi_max': 7, 'svd_min': 1e-14})
+    assert float(np.max(psi.norm_test())) < 1e-10
+    assert any(c2 > c1 for c1, c2 in zip(chi0, psi.chi))
+    assert all(c2 <= 7 for c2 in psi.chi)
+    assert abs(abs(psi.overlap(ref)) - 1.) < 1e-10
+    assert np.allclose(np.real(np.asarray(psi.expectation_value('Sz'))), Sz0,
+                       atol=1e-10)
+    # expansion into another state's important directions
+    psi2 = ref.copy()
+    other = MPS.from_product_state(m.lat.mps_sites(), ['down', 'up'] * 3,
+                                   bc='finite')
+    err = psi2.subspace_expansion([other],
+                                  trunc_par={'chi_max': 8, 'svd_min': 1e-14})
+    assert float(np.max(psi2.norm_test())) < 1e-10
+    assert abs(abs(psi2.overlap(ref)) - 1.) < 1e-10
+    assert err.eps >= 0.
+
+
 def test_enlarge_chi_infinite_wrap_bond():
     """enlarge_chi on infinite bc, including the unit-cell wrap bond b=0."""
     psi = MPS.from_product_state([spin_half] * 2, ['up', 'down'],

@@ -320,7 +320,16 @@ def test_sort_legcharge():
         assert leg.bunch()[1].block_number == leg.block_number  # bunched
     expect = dense[np.ix_(perms[0], perms[1])]
     assert np.allclose(s.to_ndarray(), expect, atol=1e-14)
-    # partial sort: only leg 1
+    # partial sort: only leg 1; leg 0 must still be *bunched* (bunch=True
+    # applies to unsorted legs too — reference semantics)
     perms2, s2 = a.sort_legcharge([False, True], True)
     assert np.array_equal(perms2[0], np.arange(leg1.ind_len))
     assert np.allclose(s2.to_ndarray(), dense[:, perms2[1]], atol=1e-14)
+    l0 = s2.legs[0]
+    assert l0.bunch()[1].block_number == l0.block_number
+    # explicit per-leg permutation entries (reference: sort may contain perms)
+    perm_explicit = np.arange(leg2.ind_len)[::-1]
+    perms3, s3 = a.sort_legcharge([False, perm_explicit], True)
+    s3.test_sanity()
+    assert np.array_equal(perms3[1], perm_explicit)
+    assert np.allclose(s3.to_ndarray(), dense[:, perm_explicit], atol=1e-14)
