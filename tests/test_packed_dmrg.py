@@ -201,6 +201,39 @@ def test_lanczos_exact_E_rayleigh():
     assert abs(float(E32) - E_check) < 1e-12
 
 
+def test_device_sweep_complex_hofstadter():
+    """Complex MPO (Hofstadter hopping phases) on the device engine.
+
+    BASELINE config #5: the split re/im channel storage must carry a
+    genuinely complex Hamiltonian through a full device sweep and match the
+    host engine (complex128 throughout) to 1e-10.  Reference model:
+    ``tenpy/models/hofstadter.py:18,145``."""
+    from tenpy_tpu.models.hofstadter import HofstadterFermions
+    m = HofstadterFermions({'lattice': 'Square', 'Lx': 3, 'Ly': 2,
+                            'phi': (1, 3), 'bc_y': 'cylinder',
+                            'bc_MPS': 'finite', 'conserve': 'N',
+                            'mu': 0.5})
+    assert jnp.issubdtype(m.H_MPO.dtype, jnp.complexfloating)
+    psi = MPS.from_product_state(
+        m.lat.mps_sites(), ['full', 'empty'] * 3, bc='finite')
+    eng = dmrg.TwoSiteDMRGEngine(psi, m, {
+        'trunc_params': {'chi_max': 16, 'svd_min': 1e-12},
+        'max_sweeps': 10, 'mixer': True})
+    E_ref, _ = eng.run()   # chi=16 >= 2^3: exact; psi is now complex
+
+    psi_dev = psi.copy()
+    dev = DeviceSweepEngine(psi_dev, m, {'chi_max': 16, 'svd_min': 1e-12,
+                                         'lanczos_K': 10, 'n_sweeps': 6,
+                                         'multiple': 8})
+    E_dev, psi_dev = dev.run()
+    assert abs(E_dev - E_ref) < 1e-10
+    psi_dev.test_sanity()
+    from tenpy_tpu.networks.mpo import MPOEnvironment
+    E_state = float(np.real(MPOEnvironment(psi_dev, m.H_MPO, psi_dev)
+                            .full_contraction(3)))
+    assert abs(E_state - E_ref) < 1e-10
+
+
 @pytest.mark.slow
 def test_device_sweep_infinite():
     m, psi, _ = _ramped_state(L=2, chi=24, sweeps=15, bc='infinite')
