@@ -149,6 +149,9 @@ def cmd_ours(chi, ramp_on_device=False):
         'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH + n_polish,
         'cap_factor': grow, 'matvec_mode': mode, 'exact_E': bool(mode),
         'polish_sweeps': n_polish})
+    t0 = time.time()
+    n_prog = eng.precompile()
+    print(f"precompiled {n_prog} programs in {time.time()-t0:.1f}s (parallel)")
     eng.run()
     with open(state_path(chi), 'wb') as f:
         pickle.dump(psi, f)

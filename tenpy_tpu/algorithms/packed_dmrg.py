@@ -659,6 +659,11 @@ class DeviceSweepEngine:
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
+        fn = self._build_step(move_right, plan, mode, K)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _build_step(self, move_right, plan, mode, K):
         chi, smin, backend = self.chi_max, self.svd_min, self.backend
         P_tol, reortho = self.lanczos_P_tol, self.reortho
         exact_E = self.exact_E
@@ -686,9 +691,67 @@ class DeviceSweepEngine:
                 ENVn = _env_update_R(RP, B, W1)
             return E0, A, S, B, Cn, ENVn, err, n_kept
 
-        fn = jax.jit(step)
-        self._jit_cache[key] = fn
-        return fn
+        return jax.jit(step)
+
+    def precompile(self, include_polish=True):
+        """AOT-compile the sweep's site-update programs, in parallel.
+
+        With the uniform bond layout an infinite sweep reuses ONE program
+        per (direction, Lanczos cap, precision mode); a cold start through a
+        remote-attached TPU costs minutes of XLA compile per program, and
+        the compiles are mutually independent — so trace/lower them here and
+        run the backend compiles on a thread pool, installing the compiled
+        executables into the engine's jit cache.  Returns the number of
+        programs compiled.  No-op (returns 0) for finite bc (site-dependent
+        structures) or a non-uniform layout.
+        """
+        if self.finite or len(set(self.bond)) > 1:
+            return 0
+        if self._C is None:
+            self._C = ps.scale_bond(self.Bp[0], self.Sp[0],
+                                    ps.scale_bond_plan(self.Bp[0], 'vL'))
+        modes = [self.matvec_mode]
+        if include_polish and self.matvec_mode and self.polish_sweeps:
+            modes.append(None)
+        Ks = {None, self.K_seam}
+        L = self.L
+        jobs = []   # (cache_key, lowered)
+        saved_mode = self._cur_mode
+        try:
+            for mode in modes:
+                self._cur_mode = mode
+                for move_right in (True, False):
+                    for K in Ks:
+                        # structural stand-ins: with the uniform gauge, A- and
+                        # B-tensors (and every bond's env) share one packed
+                        # structure, so site-0 arrays trace for every site
+                        LP, RP = self.LPp[0], self.RPp[1 % L]
+                        W0, W1 = self.Wp[0], self.Wp[1 % L]
+                        C, N = self._C, self.Bp[1 % L]
+                        struct = self._theta_struct(C, N, move_right)
+                        plan = ps.split_plan(struct, self._bond(1),
+                                             self.qtotal_site[0])
+                        Kv = self.K if K is None else K
+                        key = (move_right, id(plan),
+                               (C.struct_sig(), N.struct_sig()), mode, Kv)
+                        if key in self._jit_cache:
+                            continue
+                        fn = self._build_step(move_right, plan, mode, Kv)
+                        lowered = fn.lower(LP, RP, W0, W1, C, N)
+                        jobs.append((key, lowered))
+        finally:
+            self._cur_mode = saved_mode
+        if not jobs:
+            return 0
+        from concurrent.futures import ThreadPoolExecutor
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            compiled = list(ex.map(lambda j: j[1].compile(), jobs))
+        for (key, _), cfn in zip(jobs, compiled):
+            self._jit_cache[key] = cfn
+        logger.info("precompiled %d sweep programs in %.1fs (parallel)",
+                    len(jobs), time.time() - t0)
+        return len(jobs)
 
     def _theta_struct(self, C, N, move_right):
         """Structure-only PackedArray of ``C . N`` (for plan construction)."""

@@ -254,6 +254,28 @@ def test_device_sweep_infinite():
     assert abs(E_check - E_ref) < 1e-7
 
 
+def test_precompile_covers_sweep():
+    """precompile() AOT-compiles every program an infinite sweep needs.
+
+    With the uniform charge gauge the sweep must reuse exactly the
+    precompiled executables — zero additional jit entries (a cold start
+    through a remote-attached TPU costs minutes per program, so a missed
+    structure would silently double the startup cost)."""
+    m, psi, _ = _ramped_state(L=2, chi=16, sweeps=8, bc='infinite')
+    dev = DeviceSweepEngine(psi, m, {'chi_max': 16, 'svd_min': 1e-12,
+                                     'lanczos_K': 6, 'lanczos_K_seam': 8,
+                                     'n_sweeps': 3, 'multiple': 8,
+                                     'matvec_mode': 'f32',
+                                     'polish_sweeps': 1})
+    n = dev.precompile()
+    # 2 directions x (K, K_seam) x (f32, polish f64) = 8 programs
+    assert n == 8
+    n0 = len(dev._jit_cache)
+    dev.run()
+    assert len(dev._jit_cache) == n0, "sweep compiled extra programs"
+    psi.test_sanity()
+
+
 def test_device_ramp_staged():
     """device_ramp: the staged fixed-capacity chi ramp (the reference's
     chi_list-with-mixer analogue) grows a small state to the target chi fully
