@@ -116,8 +116,9 @@ def rung_sweep():
         'matvec_mode': 'f32', 'exact_E': True, 'polish_sweeps': 0})
     log(f"bench: engine set up t={time.time()-T0:.0f}s")
     n = eng.precompile()
-    log(f"bench: {n} programs AOT-compiled in parallel t={time.time()-T0:.0f}s")
-    eng.run()
+    log(f"bench: {n} programs compiled (parallel warm) t={time.time()-T0:.0f}s")
+    eng._write_back_on_run = False   # metric is sweep time; skip the host
+    eng.run()                        # write-back + re-gauge (~30 s at chi=256)
     times = sorted(eng.sweep_stats['time'][1:])
     median = times[len(times) // 2]
     E = eng.sweep_stats['E'][-1]
@@ -190,11 +191,11 @@ def rung_host():
     log(f"bench[host]: CPU host path chi={CHI} t={time.time()-T0:.0f}s")
     eng = dmrg.TwoSiteDMRGEngine(psi, m, {
         'trunc_params': {'chi_max': CHI, 'svd_min': 1e-10},
-        'max_sweeps': 2, 'min_sweeps': 2, 'N_sweeps_check': 2,
+        'max_sweeps': 1, 'min_sweeps': 1, 'N_sweeps_check': 1,
         'mixer': None, 'combine': True})
     t0 = time.time()
     eng.run()
-    dt = (time.time() - t0) / 2
+    dt = time.time() - t0
     log(f"bench[host]: {dt:.2f} s/sweep")
     emit(f'iDMRG s/sweep, Hubbard Ly=4 cylinder chi={CHI} (CPU host path; '
          f'DEGRADED: TPU rungs exceeded budget)',
@@ -233,10 +234,12 @@ def _run_child(rung, timeout):
 
 def main():
     remaining = lambda: BUDGET_S - (time.time() - T0)    # noqa: E731
-    # rung 1 gets the budget minus a reserve for the fallbacks
-    if _run_child('sweep', max(60., remaining() - 150.)):
+    # rung 1 gets the budget minus a reserve for the fallbacks (the host
+    # rung needs ~120 s: model + state load + ONE chi=256 sweep)
+    if _run_child('sweep', max(60., remaining() - 130.)):
         return
-    if remaining() > 90. and _run_child('matvec', max(60., remaining() - 60.)):
+    if remaining() > 220. and _run_child('matvec',
+                                         max(60., remaining() - 130.)):
         return
     rung_host()
 

@@ -146,6 +146,9 @@ def cmd_ours(chi, ramp_on_device=False):
     pk.reset_flops()
     eng = DeviceSweepEngine(psi, m, {
         'chi_max': chi, 'svd_min': 1e-10, 'lanczos_K': K,
+        # seam cap = K: one program per (direction, mode) — each extra K
+        # value is another minutes-long cold compile through the tunnel
+        'lanczos_K_seam': int(os.environ.get('NORTHSTAR_K_SEAM', str(K))),
         'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH + n_polish,
         'cap_factor': grow, 'matvec_mode': mode, 'exact_E': bool(mode),
         'polish_sweeps': n_polish})

@@ -699,11 +699,15 @@ class DeviceSweepEngine:
         With the uniform bond layout an infinite sweep reuses ONE program
         per (direction, Lanczos cap, precision mode); a cold start through a
         remote-attached TPU costs minutes of XLA compile per program, and
-        the compiles are mutually independent — so trace/lower them here and
-        run the backend compiles on a thread pool, installing the compiled
-        executables into the engine's jit cache.  Returns the number of
-        programs compiled.  No-op (returns 0) for finite bc (site-dependent
-        structures) or a non-uniform layout.
+        the compiles are mutually independent — so build them here and warm
+        each one on a thread pool, installing the jitted callables into the
+        engine's jit cache.  Warming goes through the normal jit dispatch
+        (one throwaway execution per program) rather than AOT
+        ``lower().compile()``: only the dispatch path consults the JAX
+        persistent compilation cache (measured: AOT recompiles ~5 min/program
+        through the axon tunnel on entries the dispatch path hits instantly).
+        Returns the number of programs compiled.  No-op (returns 0) for
+        finite bc (site-dependent structures) or a non-uniform layout.
         """
         if self.finite or len(set(self.bond)) > 1:
             return 0
@@ -734,21 +738,28 @@ class DeviceSweepEngine:
                         Kv = self.K if K is None else K
                         key = (move_right, id(plan),
                                (C.struct_sig(), N.struct_sig()), mode, Kv)
-                        if key in self._jit_cache:
+                        if key in self._jit_cache or \
+                                any(key == j[0] for j in jobs):
                             continue
                         fn = self._build_step(move_right, plan, mode, Kv)
-                        lowered = fn.lower(LP, RP, W0, W1, C, N)
-                        jobs.append((key, lowered))
+                        jobs.append((key, fn, (LP, RP, W0, W1, C, N)))
         finally:
             self._cur_mode = saved_mode
         if not jobs:
             return 0
         from concurrent.futures import ThreadPoolExecutor
         t0 = time.time()
+
+        def warm(job):
+            _, fn, args = job
+            out = fn(*args)          # dispatch-path compile (+ one execution)
+            jax.block_until_ready(out)
+            return fn
+
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            compiled = list(ex.map(lambda j: j[1].compile(), jobs))
-        for (key, _), cfn in zip(jobs, compiled):
-            self._jit_cache[key] = cfn
+            warmed = list(ex.map(warm, jobs))
+        for (key, _, _), fn in zip(jobs, warmed):
+            self._jit_cache[key] = fn
         logger.info("precompiled %d sweep programs in %.1fs (parallel)",
                     len(jobs), time.time() - t0)
         return len(jobs)
@@ -928,11 +939,17 @@ class DeviceSweepEngine:
             else:
                 psi.set_SL(i, Ss[i][keeps[i]])
         if not self.finite:
-            # the A-form seam write keeps the mixed-canonical chain
-            # consistent to truncation error; re-gauge only if the written
-            # state fails a cheap canonicality check (e.g. interrupted
-            # mid-sweep, or write_back before any sweep ran)
+            # The A-form seam write keeps the mixed-canonical chain
+            # consistent to truncation error — measured: the residual
+            # plateaus at ~5x the per-update truncation error and does NOT
+            # decay with further sweeps (it is the within-sweep basis drift
+            # of the unit-cell wrap, inherent to iDMRG).  Re-gauge
+            # unconditionally, exactly like the reference's post_run_cleanup
+            # (tenpy/algorithms/dmrg.py:402) — this is a gauge choice, not a
+            # repair: the physics changes only at the truncation scale.
             err = float(np.max(psi.norm_test()))
-            if err > 1e-7:
-                logger.info("write_back: norm_test=%.2e, re-gauging", err)
+            if err > 1e-12:
+                logger.info("write_back: norm_test=%.2e (seam drift at the "
+                            "truncation scale); re-gauging as in the "
+                            "reference's post_run_cleanup", err)
                 self.psi.canonical_form()

@@ -1427,9 +1427,16 @@ class MPS:
                                         [l + '*' for l in p_label] + ['vR*']])
                 iso_err = max(iso_err, float(npc.norm(c - npc.eye_like(c, 0))))
             if iso_err > 1e-3:
-                logger.warning("canonical_form_infinite: inconsistent B-chain "
-                               "(err=%.2e); compressing away noise-floor "
-                               "Schmidt directions first", iso_err)
+                # iso_err is measured on S-stripped tensors, so Schmidt
+                # directions at the noise floor (pinv_cutoff) contribute O(1)
+                # junk even when the *state* is canonical to truncation
+                # accuracy — distinguish that benign case (cheap norm_test)
+                # from genuinely inconsistent input before alarming anyone.
+                nt = float(np.max(self.norm_test()))
+                log = logger.info if nt < 1e-4 else logger.warning
+                log("canonical_form_infinite: noise-floor Schmidt directions "
+                    "(stripped-isometry err=%.2e, norm_test=%.2e); "
+                    "compressing them away before gauging", iso_err, nt)
                 self.compress_svd({'chi_max': max(self.chi),
                                    'svd_min': 3e-8, 'trunc_cut': None})
                 Ms = self._stripped_tensors(pinv_cutoff=1e-8)
