@@ -133,7 +133,8 @@ def cmd_ours(chi=CHI):
         print(f"E/site(GS-H) = {float(m_gs.H_MPO.expectation_value(psi)):.10f}")
     eng = DeviceTEBDEngine(psi, m, {
         'chi_max': chi, 'svd_min': 1e-10, 'dt': DT, 'order': 2,
-        'type_evo': 'real', 'N_steps': 1, 'cap_factor': 1.2})
+        'type_evo': 'real', 'N_steps': 1, 'cap_factor': 1.2,
+        'backend': os.environ.get('TEBD_BACKEND') or None})
     t0 = time.time()
     eng.evolve(1)           # warm-up: pays jit compiles
     t_compile = time.time() - t0
