@@ -149,6 +149,11 @@ def cmd_ours(chi, ramp_on_device=False):
         # seam cap = K: one program per (direction, mode) — each extra K
         # value is another minutes-long cold compile through the tunnel
         'lanczos_K_seam': int(os.environ.get('NORTHSTAR_K_SEAM', str(K))),
+        # HBM headroom at chi=2048: the default 1.5x capacity budget OOMs
+        # (one update program needs 19.5G vs 15.75G HBM; the gathered GEMM
+        # buffers scale ~quadratically with total bond capacity)
+        'total_cap_factor': float(os.environ.get('NORTHSTAR_TOTAL_CAP',
+                                                 '1.5')),
         'n_sweeps': n_ramp + 1 + N_SWEEPS_BENCH + n_polish,
         'cap_factor': grow, 'matvec_mode': mode, 'exact_E': bool(mode),
         'polish_sweeps': n_polish})
