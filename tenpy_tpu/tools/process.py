@@ -1,20 +1,27 @@
-"""Process-level utilities: memory usage, device info.
+"""Process-level utilities: memory usage, BLAS/OMP thread control, device info.
 
-Rebuild of ``tenpy/tools/process.py``.  The reference controls OMP/MKL thread counts
-(``process.py:99-184``); on TPU intra-op parallelism is XLA's job, so the analogous knobs
-here report/configure JAX devices instead.
+Rebuild of ``tenpy/tools/process.py``.  The reference controls OMP/MKL
+thread counts via ctypes (``process.py:99-184``); the TPU build keeps
+that capability for the *host* execution path (numpy/scipy BLAS — the
+chi ramp and everything eager runs there) and additionally reports JAX
+devices, since intra-op parallelism on the accelerator itself is XLA's
+job.  OpenBLAS is handled alongside OMP/MKL (this image ships scipy
+linked against OpenBLAS, not MKL).
 """
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import logging
 import os
 import resource
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['memory_usage', 'load_omp_library', 'omp_set_nthreads', 'omp_get_nthreads',
-           'mkl_set_nthreads', 'mkl_get_nthreads', 'device_info']
+__all__ = ['memory_usage', 'load_omp_library', 'omp_set_nthreads',
+           'omp_get_nthreads', 'mkl_set_nthreads', 'mkl_get_nthreads',
+           'device_info']
 
 
 def memory_usage():
@@ -34,25 +41,103 @@ def device_info():
             for d in jax.devices()]
 
 
-# -- CPU-thread stubs kept for API parity with the reference (no-ops on TPU) --
-def load_omp_library(libs=None, verbose=None):
-    logger.debug("load_omp_library: no-op in the TPU build")
+# ------------------------------------------------------- thread control
+def _loaded_libs(patterns):
+    """ctypes handles for already-mapped shared libraries matching any pattern.
+
+    Scans /proc/self/maps (the libraries numpy/scipy actually loaded beat
+    whatever find_library would guess).
+    """
+    paths = []
+    try:
+        with open('/proc/self/maps') as f:
+            for line in f:
+                part = line.rsplit(' ', 1)[-1].strip()
+                if part.startswith('/') and part not in paths and \
+                        any(p in os.path.basename(part).lower()
+                            for p in patterns):
+                    paths.append(part)
+    except OSError:
+        pass
+    libs = []
+    for p in paths:
+        try:
+            libs.append(ctypes.CDLL(p))
+        except OSError:
+            continue
+    return libs
+
+
+_OMP_LIB = None
+
+
+def load_omp_library(libs=('gomp', 'iomp5', 'omp'), verbose=None):
+    """Load (once) an OpenMP runtime already mapped into this process."""
+    global _OMP_LIB
+    if _OMP_LIB is not None:
+        return _OMP_LIB
+    # make sure numpy/scipy pulled their BLAS in
+    import numpy  # noqa: F401
+    for lib in _loaded_libs([f'lib{name}' for name in libs]):
+        if hasattr(lib, 'omp_set_num_threads'):
+            _OMP_LIB = lib
+            if verbose:
+                logger.info("loaded OpenMP runtime %r", lib._name)
+            return lib
+    name = ctypes.util.find_library('gomp')
+    if name:
+        try:
+            _OMP_LIB = ctypes.CDLL(name)
+            return _OMP_LIB
+        except OSError:
+            pass
+    logger.debug("no OpenMP runtime found in this process")
     return None
 
 
+def _blas_libs():
+    import numpy  # noqa: F401 — load BLAS first
+    import scipy.linalg  # noqa: F401
+    return _loaded_libs(['openblas', 'libblas', 'mkl_rt'])
+
+
 def omp_set_nthreads(n):
-    logger.debug("omp_set_nthreads(%d): no-op in the TPU build", n)
-    return False
+    """Set the OMP *and* OpenBLAS thread counts for host BLAS; True on success."""
+    ok = False
+    lib = load_omp_library()
+    if lib is not None:
+        lib.omp_set_num_threads(int(n))
+        ok = True
+    for blas in _blas_libs():
+        if hasattr(blas, 'openblas_set_num_threads'):
+            blas.openblas_set_num_threads(int(n))
+            ok = True
+    return ok
 
 
 def omp_get_nthreads():
+    """Max OMP threads (or OpenBLAS threads), -1 if undeterminable."""
+    lib = load_omp_library()
+    if lib is not None:
+        return int(lib.omp_get_max_threads())
+    for blas in _blas_libs():
+        if hasattr(blas, 'openblas_get_num_threads'):
+            return int(blas.openblas_get_num_threads())
     return -1
 
 
 def mkl_set_nthreads(n):
-    logger.debug("mkl_set_nthreads(%d): no-op in the TPU build", n)
+    """Set MKL threads (ctypes, like the reference); False when no MKL."""
+    for blas in _blas_libs():
+        if hasattr(blas, 'MKL_Set_Num_Threads'):
+            blas.MKL_Set_Num_Threads(int(n))
+            return True
+    logger.debug("mkl_set_nthreads: no MKL in this process")
     return False
 
 
 def mkl_get_nthreads():
+    for blas in _blas_libs():
+        if hasattr(blas, 'MKL_Get_Max_Threads'):
+            return int(blas.MKL_Get_Max_Threads())
     return -1

@@ -114,3 +114,19 @@ def test_linear_prediction():
     # predicted tail follows the damped oscillation
     assert np.max(np.abs(ext[80:, 0] - exact[80:])) < 5e-2
     assert np.allclose(ext[:80, 0], exact[:80])  # original data untouched
+
+
+def test_process_thread_control():
+    """Host BLAS thread control is real (OpenBLAS via ctypes), not a stub.
+
+    Reference: tenpy/tools/process.py:99-184 (OMP/MKL setters).  This image
+    ships OpenBLAS: set must succeed and get must report a positive count;
+    MKL is absent, so the MKL setters must honestly return False/-1."""
+    import numpy  # noqa: F401 — make sure BLAS is loaded
+    import scipy.linalg  # noqa: F401
+    from tenpy_tpu.tools import process
+    assert process.omp_set_nthreads(1) is True
+    assert process.omp_get_nthreads() >= 1
+    assert process.mkl_set_nthreads(2) is False
+    assert process.mkl_get_nthreads() == -1
+    assert process.memory_usage() > 0
