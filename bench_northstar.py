@@ -98,7 +98,7 @@ def cmd_ramp(chi):
     print("ramp done ->", state_path(chi))
 
 
-V5E_BF16_PEAK = 394e12   # TPU v5e peak bf16 FLOP/s (public spec)
+V5E_BF16_PEAK = 197e12   # TPU v5e peak bf16 FLOP/s (public spec; 394e12 is int8)
 
 
 def cmd_ours(chi, ramp_on_device=False):
@@ -136,7 +136,11 @@ def cmd_ours(chi, ramp_on_device=False):
     # the state grows into the layout over the first sweeps (device-side chi
     # ramp) and the production sweeps reuse the same compiled programs.
     grow = max(1.3, 1.3 * chi / max(cur, 1))
-    n_ramp = 3 if cur < chi else 0
+    # big single-stage growth needs more ramp sweeps: the write-back's
+    # mixed-canonical seam is only consistent once the per-sweep drift has
+    # decayed (a 256->2048 ramp with 3 sweeps left 1.3e-2 norm error and a
+    # mangled re-gauge; from 512 with 6 ramp sweeps it is clean)
+    n_ramp = int(os.environ.get('NORTHSTAR_RAMP', '3')) if cur < chi else 0
     K = int(os.environ.get('NORTHSTAR_K', '10'))
     # production protocol: Lanczos iterations in f32-HIGHEST GEMMs, final
     # polish sweeps in native (emulated) f64 — the polished energy is the
@@ -173,9 +177,14 @@ def cmd_ours(chi, ramp_on_device=False):
             if i >= 1 + n_ramp and modes[i] == (mode or 'f64')]
     prod_sorted = sorted(prod) if prod else [times[-1]]
     med = prod_sorted[len(prod_sorted) // 2]
-    # MFU: FLOPs of one sweep = traced-FLOP delta across the first sweep
-    # (every program traces exactly once, on its first sweep)
-    sweep_flops = flops[0]
+    # MFU: every program traces exactly once (counting its GEMM FLOPs into
+    # pk.FLOPS_TRACED, x K for the Lanczos loop).  With the uniform charge
+    # gauge ONE program per direction serves all L sites, so the traced
+    # total must be multiplied by L to get executed FLOPs per sweep; with
+    # per-bond layouts sweep 1 traces all 2L programs and the total IS one
+    # sweep.
+    uniform = len({id(b) for b in eng.bond}) == 1
+    sweep_flops = flops[0] * (eng.L if uniform else 1)
     mfu = sweep_flops / med / V5E_BF16_PEAK if med > 0 else 0.
     for i, t in enumerate(times):
         print(f"  sweep {i+1} [{modes[i]}]: {t:.2f}s E0={st['E'][i]:.12f} "
@@ -184,9 +193,9 @@ def cmd_ours(chi, ramp_on_device=False):
     print(f"E/site (host TM, f64) = {E_site:.12f}")
     print(f"RESULT ours chi={chi}: {med:.2f} s/sweep median of {len(prod)} "
           f"[{mode or 'f64'}] (best {prod_sorted[0]:.2f}); "
-          f"polish E0 {st['E'][-1]:.12f}; "
-          f"~{sweep_flops/1e12:.1f} TFLOP/sweep, "
-          f"MFU {100*mfu:.1f}% of bf16 peak")
+          f"final E0 {st['E'][-1]:.12f}; "
+          f"~{sweep_flops/1e12:.2f} GEMM-TFLOP/sweep, "
+          f"MFU {100*mfu:.3f}% of bf16 peak")
     return med
 
 
