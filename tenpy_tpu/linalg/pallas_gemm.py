@@ -28,9 +28,16 @@ gather/matmul/scatter HLOs instead of BLAS calls.
 The kernel computes in float32 on the MXU (``precision`` selectable:
 ``'highest'`` = 6-pass bf16 -> ~2e-7 relative error, the production Lanczos
 mode; ``'default'`` = single bf16 pass for early ramp sweeps).  TPUs have no
-native f64 MXU path, so f64 inputs ride the XLA chain instead (the engine's
-``matvec_mode='f32'`` production setting is exactly the regime this kernel
-serves).  Used when :data:`tenpy_tpu.linalg.packed._PALLAS_GEMM` is enabled
+native f64 MXU path, so *native* f64 inputs ride the XLA chain instead; f64
+arrays under a reduced-precision ``matmul_mode`` do use the kernel (the
+engine's ``matvec_mode='f32'`` production setting is exactly the regime it
+serves).  Accumulation caveat for that regime: the segment sum accumulates
+in **f32 VMEM scratch** and upcasts the reduced result to f64, whereas the
+XLA chain upcasts each GEMM result to f64 *before* its gather-sum — very
+high fan-in groups (B/U >> 100) lose a few bits of accumulation accuracy on
+the fused path.  This is the regime the 3e-9 device-energy-parity numbers
+were measured in (with the kernel OFF, the default); keep ``TENPY_TPU_PALLAS``
+off for strict-accumulation work.  Used when :data:`tenpy_tpu.linalg.packed._PALLAS_GEMM` is enabled
 (env ``TENPY_TPU_PALLAS=1``) and the group fits the VMEM budget.
 """
 
