@@ -25,14 +25,25 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.environ.get('NORTHSTAR_CACHE', '/tmp')
 CHI = int(os.environ.get('HOF_CHI', '128'))
 N_SWEEPS = int(os.environ.get('HOF_SWEEPS', '3'))
+# Charge bookkeeping knob.  conserve='N' at 1/3 filling has unit-cell charge
+# Q=3 on L=9 sites, so the uniform charge gauge (needs Q % L == 0) cannot
+# apply and a device run pays 2L serial program compiles.  The TPU-first
+# protocol is conserve=None: one dense sector per bond -- at chi=128 the
+# dense GEMMs tile the MXU far better than 1-20-dim charge blocks anyway,
+# and the sweep reuses 2 compiled programs.  Same Hamiltonian/algorithm;
+# the (CPU) reference keeps conserve='N', which only helps it.
+CONSERVE = os.environ.get('HOF_CONSERVE', 'none')
 
 MODEL = {'lattice': 'Square', 'Lx': 3, 'Ly': 3, 'bc_y': 'cylinder',
-         'bc_MPS': 'infinite', 'phi': (1, 3), 'conserve': 'N', 'mu': 0.,
-         'v': 0.}
+         'bc_MPS': 'infinite', 'phi': (1, 3),
+         'conserve': None if CONSERVE == 'none' else CONSERVE,
+         'mu': 0., 'v': 0.}
+REF_MODEL = dict(MODEL, conserve='N')
 
 
 def state_path(chi):
-    return os.path.join(CACHE, f'hofstadter_chi{chi}.pkl')
+    tag = '' if CONSERVE == 'N' else f'_{CONSERVE}'
+    return os.path.join(CACHE, f'hofstadter{tag}_chi{chi}.pkl')
 
 
 def build(ref=False):
@@ -42,7 +53,7 @@ def build(ref=False):
     else:
         sys.path.insert(0, REPO)
         from tenpy_tpu.models.hofstadter import HofstadterFermions
-    return HofstadterFermions(dict(MODEL))
+    return HofstadterFermions(dict(REF_MODEL if ref else MODEL))
 
 
 def initial(m, ref=False):

@@ -831,7 +831,11 @@ def tensordot(a, b, axes):
     plan = _packed_plan(at, bt, n_axes)
     dtype = jnp.result_type(at.dtype, bt.dtype)
     iscomplex = at.iscomplex or bt.iscomplex
-    buf_dtype = jnp.zeros((), dtype).real.dtype if iscomplex else dtype
+    # real buffer dtype via host numpy: an eager jnp.zeros((), complex128)
+    # here would dispatch a C128 constant to the TPU, which has no complex
+    # support at all (surfaced by the eager write_back tensordot of the
+    # Hofstadter device run; sweeps never hit it — they trace under jit)
+    buf_dtype = np.empty(0, dtype).real.dtype if iscomplex else dtype
 
     def _mm(am, bm):
         """One bucket GEMM (real buffers), honoring the precision mode."""
