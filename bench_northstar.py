@@ -183,7 +183,7 @@ def cmd_ours(chi, ramp_on_device=False):
     # total must be multiplied by L to get executed FLOPs per sweep; with
     # per-bond layouts sweep 1 traces all 2L programs and the total IS one
     # sweep.
-    uniform = len({id(b) for b in eng.bond}) == 1
+    uniform = len(set(eng.bond)) == 1   # value equality, like precompile()
     sweep_flops = flops[0] * (eng.L if uniform else 1)
     mfu = sweep_flops / med / V5E_BF16_PEAK if med > 0 else 0.
     for i, t in enumerate(times):

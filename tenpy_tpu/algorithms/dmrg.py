@@ -237,15 +237,25 @@ class DMRGEngine(IterativeSweeps):
                 _, Es, _ = MPOTransferMatrix.find_init_LP_RP(
                     self.env.H, psi_eval, calc_E=True)
                 E_tm = float(np.mean(np.real(Es)))
-                if abs(E_tm - E) > 1e-3 * max(1., abs(E)):
-                    # under-converged runs (few sweeps, young environments):
-                    # the finite-difference estimator is the unreliable one —
-                    # the TM fixed point of the final state wins
-                    logger.info("sweep-statistics energy estimate %.10f is "
-                                "far from the final TM energy %.10f (young "
-                                "environments?); reporting the TM energy",
-                                E, E_tm)
-                E = E_tm
+                if abs(E_tm - E) > 1e-1 * max(1., abs(E)):
+                    # a TM solve that silently mis-converged (junk Es without
+                    # raising) must not be reported as the final energy: at
+                    # O(1) disagreement the sweep estimator is the safer bet
+                    logger.warning(
+                        "final TM energy %.10f disagrees with the sweep"
+                        "-statistics estimate %.10f at O(1); keeping the "
+                        "sweep estimate (pathological TM solve?)", E_tm, E)
+                else:
+                    if abs(E_tm - E) > 1e-3 * max(1., abs(E)):
+                        # under-converged runs (few sweeps, young
+                        # environments): the finite-difference estimator is
+                        # the unreliable one — the TM fixed point of the
+                        # final state wins
+                        logger.info("sweep-statistics energy estimate %.10f "
+                                    "is far from the final TM energy %.10f "
+                                    "(young environments?); reporting the TM "
+                                    "energy", E, E_tm)
+                    E = E_tm
             except Exception as e:
                 logger.warning("final TM energy evaluation failed (%s); "
                                "keeping the sweep-statistics estimate", e)

@@ -684,18 +684,26 @@ class Array:
         bool or an explicit flat permutation to apply to that leg; ``bunch``
         is one bool or one bool per leg.  Legs with ``sort=False`` but
         ``bunch=True`` are still bunched (contiguous equal-charge sectors
-        merged), matching the reference semantics.  Built on :meth:`permute`
-        (one pass per affected leg).  Reference: ``np_conserved.py:1372``.
+        merged), matching the reference semantics.  Divergence: a leg given
+        an *explicit* permutation is always bunched afterwards (``permute``
+        rebuilds the leg bunched), even with ``bunch=False`` — the reference
+        (``np_conserved.py:1372``) would keep it unbunched.  Built on
+        :meth:`permute` (one pass per affected leg).
         """
-        sort = [sort] * self.rank if isinstance(sort, bool) else list(sort)
-        bunch = [bunch] * self.rank if isinstance(bunch, bool) else list(bunch)
+        sort = [sort] * self.rank if isinstance(sort, (bool, np.bool_)) \
+            else list(sort)
+        bunch = [bunch] * self.rank if isinstance(bunch, (bool, np.bool_)) \
+            else list(bunch)
         if len(sort) != self.rank or len(bunch) != self.rank:
             raise ValueError("wrong len for sort or bunch")
+        bunch = [bool(b) for b in bunch]
         res = self.copy(deep=False)
         perms = []
         for ax in range(self.rank):
             leg = res.legs[ax]
             s = sort[ax]
+            if isinstance(s, np.bool_):
+                s = bool(s)
             if not isinstance(s, bool):
                 # explicit permutation for this leg (reference parity);
                 # permute() bunches the resulting leg as a side effect

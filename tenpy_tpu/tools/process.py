@@ -98,7 +98,8 @@ def load_omp_library(libs=('gomp', 'iomp5', 'omp'), verbose=None):
 def _blas_libs():
     import numpy  # noqa: F401 — load BLAS first
     import scipy.linalg  # noqa: F401
-    return _loaded_libs(['openblas', 'libblas', 'mkl_rt'])
+    # 'libmkl' also catches split installs (libmkl_core/libmkl_intel_thread)
+    return _loaded_libs(['openblas', 'libblas', 'mkl_rt', 'libmkl'])
 
 
 def omp_set_nthreads(n):

@@ -125,8 +125,16 @@ def test_process_thread_control():
     import numpy  # noqa: F401 — make sure BLAS is loaded
     import scipy.linalg  # noqa: F401
     from tenpy_tpu.tools import process
+    if not process._blas_libs() and process.load_omp_library() is None:
+        pytest.skip("no OpenBLAS/OMP runtime mapped in this environment")
+    has_mkl = any(
+        hasattr(lib, 'mkl_set_num_threads') for lib in process._blas_libs())
     assert process.omp_set_nthreads(1) is True
     assert process.omp_get_nthreads() >= 1
-    assert process.mkl_set_nthreads(2) is False
-    assert process.mkl_get_nthreads() == -1
+    if not has_mkl:   # honest negatives on a non-MKL image
+        assert process.mkl_set_nthreads(2) is False
+        assert process.mkl_get_nthreads() == -1
+    else:
+        assert process.mkl_set_nthreads(2) is True
+        assert process.mkl_get_nthreads() >= 1
     assert process.memory_usage() > 0
