@@ -32,6 +32,7 @@ except ImportError:
 __all__ = ['save', 'load', 'save_to_hdf5', 'load_from_hdf5', 'Hdf5Exportable',
            'Hdf5Saver', 'Hdf5Loader', 'Hdf5FormatError', 'Hdf5ExportError',
            'Hdf5ImportError', 'valid_hdf5_path_component', 'find_global',
+           'compat_module', 'COMPAT_MODULES',
            'ATTR_TYPE', 'ATTR_CLASS', 'ATTR_MODULE', 'ATTR_LEN', 'ATTR_FORMAT',
            'REPR_HDF5EXPORTABLE']
 
@@ -118,13 +119,48 @@ def valid_hdf5_path_component(name):
     return isinstance(name, str) and '/' not in name and name != '.'
 
 
+# Modules whose HDF5 layout is verified byte-compatible with the reference
+# library (tenpy): objects from these modules are saved under the *reference*
+# module path, so a plain-tenpy user can load our files without tenpy_tpu
+# installed, and vice versa (tests/test_hdf5_io.py::test_cross_library_*).
+COMPAT_MODULES = {
+    'tenpy_tpu.linalg.np_conserved': 'tenpy.linalg.np_conserved',
+    'tenpy_tpu.linalg.charges': 'tenpy.linalg.charges',
+    'tenpy_tpu.linalg.truncation': 'tenpy.linalg.truncation',
+    'tenpy_tpu.networks.site': 'tenpy.networks.site',
+    'tenpy_tpu.networks.mps': 'tenpy.networks.mps',
+    'tenpy_tpu.networks.mpo': 'tenpy.networks.mpo',
+}
+
+
+def compat_module(module):
+    """The reference-library module path for saving, if format-verified."""
+    return COMPAT_MODULES.get(module, module)
+
+
 def find_global(module, qualified_name):
-    """Resolve ``module.qualified_name`` (dotted) to the global object."""
-    mod = importlib.import_module(module)
-    obj = mod
-    for part in qualified_name.split('.'):
-        obj = getattr(obj, part)
-    return obj
+    """Resolve ``module.qualified_name`` (dotted) to the global object.
+
+    Module paths of the reference library (``tenpy.*``) are remapped to
+    their ``tenpy_tpu`` counterparts first — files written by reference
+    tenpy load into tenpy_tpu objects — falling back to the literal path
+    (reference semantics: ``tenpy/tools/hdf5_io.py:838`` Hdf5Loader).
+    """
+    candidates = [module]
+    if module == 'tenpy' or module.startswith('tenpy.'):
+        candidates.insert(0, 'tenpy_tpu' + module[len('tenpy'):])
+    err = None
+    for mod_name in candidates:
+        try:
+            mod = importlib.import_module(mod_name)
+            obj = mod
+            for part in qualified_name.split('.'):
+                obj = getattr(obj, part)
+            return obj
+        except (ImportError, AttributeError) as e:
+            err = e
+    raise Hdf5ImportError(
+        f"can't resolve {module}.{qualified_name}: {err}") from err
 
 
 def _to_host(obj):
@@ -282,7 +318,10 @@ class Hdf5Saver:
         if t is np.dtype or isinstance(obj, np.dtype):
             g, sub = self.create_group_for_obj(p, obj)
             g.attrs[ATTR_TYPE] = REPR_DTYPE
-            self.save(np.lib.format.dtype_to_descr(obj), sub + 'descr')
+            # reference layout (tenpy/tools/hdf5_io.py:780 save_dtype):
+            # 'name' attr for simple dtypes, 'descr' subgroup for void ones
+            g.attrs['name'] = getattr(obj, 'name', 'void')
+            self.save(obj.descr, sub + 'descr')
             return g
         if isinstance(obj, np.ma.MaskedArray):
             g, sub = self.create_group_for_obj(p, obj)
@@ -320,7 +359,7 @@ class Hdf5Saver:
                         g.attrs[ATTR_TYPE] = REPR_CLASS if isinstance(obj, type) \
                             else REPR_FUNCTION
                         g.attrs[ATTR_CLASS] = qualname
-                        g.attrs[ATTR_MODULE] = mod
+                        g.attrs[ATTR_MODULE] = compat_module(mod)
                         self.memorize_save(g, obj)
                         return g
                 except Exception:  # noqa: BLE001 - fall through to instance save
@@ -329,7 +368,7 @@ class Hdf5Saver:
             g, sub = self.create_group_for_obj(p, obj)
             g.attrs[ATTR_TYPE] = REPR_HDF5EXPORTABLE
             g.attrs[ATTR_CLASS] = obj.__class__.__qualname__
-            g.attrs[ATTR_MODULE] = obj.__class__.__module__
+            g.attrs[ATTR_MODULE] = compat_module(obj.__class__.__module__)
             obj.save_hdf5(self, g, sub)
             return g
         return self._save_reduce(obj, p)
@@ -448,8 +487,19 @@ class Hdf5Loader:
             self.memorize_load(node, obj)
             return obj
         if t == REPR_DTYPE:
-            descr = self.load(node.name + '/descr')
-            obj = np.lib.format.descr_to_dtype(descr)
+            name = node.attrs.get('name')
+            if name is not None and not str(
+                    name if isinstance(name, str) else
+                    name.decode()).startswith('void'):
+                obj = np.dtype(name if isinstance(name, str)
+                               else name.decode())
+            else:
+                descr = self.load(node.name + '/descr')
+                if isinstance(descr, str):   # pre-round-5 tenpy_tpu files
+                    obj = np.lib.format.descr_to_dtype(descr)
+                else:
+                    obj = np.dtype([tuple(fld) if not isinstance(fld, tuple)
+                                    else fld for fld in descr])
             self.memorize_load(node, obj)
             return obj
         if t == REPR_RANGE:

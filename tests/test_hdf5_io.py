@@ -194,7 +194,8 @@ def test_import_from_datadir():
     """
     if not os.path.isdir(datadir):
         pytest.skip("no data dir yet")
-    files = [f for f in os.listdir(datadir) if f.endswith(('.h5', '.pkl'))]
+    files = [f for f in os.listdir(datadir) if f.endswith(('.h5', '.pkl'))
+             and not f.startswith('exported_from_ref')]
     if not files:
         pytest.skip("no exported data files yet")
     for f in files:
@@ -202,8 +203,134 @@ def test_import_from_datadir():
         assert_equal_data(loaded, gen_example_data())
 
 
+REFERENCE_PATH = '/root/reference'
+
+
+def _ref_tenpy():
+    """Import the reference tenpy library (None when unavailable)."""
+    import sys
+    if not os.path.isdir(os.path.join(REFERENCE_PATH, 'tenpy')):
+        return None
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')  # no-cython warning
+        import tenpy
+    return tenpy
+
+
+def gen_ref_example_data(tenpy):
+    """The reference-library twin of (the npc/mps part of) gen_example_data."""
+    from tenpy.networks.site import SpinHalfSite as RefSpinHalf
+    from tenpy.networks.mps import MPS as RefMPS
+    s = tenpy.networks.site.SpinHalfSite('Sz', sort_charge=True) \
+        if False else RefSpinHalf('Sz', sort_charge=True)
+    psi = RefMPS.from_product_state([s] * 4, ['up', 'down', 'up', 'down'])
+    return {
+        'npc': {'chinfo': psi.chinfo,
+                'leg': psi._B[1].get_leg('vL'),
+                'array': psi._B[1],
+                'site': s},
+        'mps': psi,
+    }
+
+
+def gen_tpu_example_data():
+    """The tenpy_tpu twin of :func:`gen_ref_example_data`."""
+    s = SpinHalfSite('Sz')
+    psi = MPS.from_product_state([s] * 4, ['up', 'down', 'up', 'down'])
+    return {
+        'npc': {'chinfo': psi.chinfo,
+                'leg': psi._B[1].get_leg('vL'),
+                'array': psi._B[1],
+                'site': s},
+        'mps': psi,
+    }
+
+
+def test_cross_library_load_reference_file(tmp_path):
+    """A file written by *actual* reference tenpy loads into tenpy_tpu objects.
+
+    This is the real interchange guarantee behind
+    ``tools/io.py``'s reference-format claim (reference scheme:
+    ``/root/reference/tests/export_import_test/io_test.py:1-9``)."""
+    tenpy = _ref_tenpy()
+    if tenpy is None:
+        pytest.skip("reference tenpy not available")
+    from tenpy.tools import hdf5_io as ref_io
+    fn = str(tmp_path / 'ref_written.h5')
+    data = gen_ref_example_data(tenpy)
+    with h5py.File(fn, 'w') as f:
+        ref_io.save_to_hdf5(f, data)
+    loaded = hio.load(fn)
+    # loaded objects must be *tenpy_tpu* types with identical content
+    assert type(loaded['mps']) is MPS
+    assert isinstance(loaded['npc']['array'], npc.Array)
+    expected = gen_tpu_example_data()
+    assert_equal_data(loaded, expected)
+
+
+def test_cross_library_save_for_reference(tmp_path):
+    """A file written by tenpy_tpu loads with *actual* reference tenpy.
+
+    The saver stamps format-verified classes with the reference module path
+    (``tools/io.py COMPAT_MODULES``), so plain-tenpy users — without
+    tenpy_tpu installed — can read our states."""
+    tenpy = _ref_tenpy()
+    if tenpy is None:
+        pytest.skip("reference tenpy not available")
+    from tenpy.tools import hdf5_io as ref_io
+    fn = str(tmp_path / 'tpu_written.h5')
+    hio.save(gen_tpu_example_data(), fn)
+    # the module attrs on disk must be reference paths (no tenpy_tpu leak)
+    with h5py.File(fn, 'r') as f:
+        assert f['mps'].attrs[hio.ATTR_MODULE] == 'tenpy.networks.mps'
+        assert f['npc/array'].attrs[hio.ATTR_MODULE] == \
+            'tenpy.linalg.np_conserved'
+        loaded = ref_io.load_from_hdf5(f)
+    from tenpy.networks.mps import MPS as RefMPS
+    from tenpy.linalg import np_conserved as ref_npc
+    assert type(loaded['mps']) is RefMPS
+    assert isinstance(loaded['npc']['array'], ref_npc.Array)
+    loaded['mps'].test_sanity()
+    ref = gen_ref_example_data(tenpy)
+    np.testing.assert_allclose(loaded['npc']['array'].to_ndarray(),
+                               ref['npc']['array'].to_ndarray(), atol=1e-14)
+    assert abs(abs(loaded['mps'].overlap(ref['mps'])) - 1.) < 1e-12
+    for b in range(1, 4):
+        np.testing.assert_allclose(np.asarray(loaded['mps'].get_SL(b)),
+                                   np.asarray(ref['mps'].get_SL(b)),
+                                   atol=1e-14)
+
+
+def test_import_reference_exported_datadir():
+    """Import committed files exported by the reference library itself."""
+    files = [] if not os.path.isdir(datadir) else \
+        [f for f in os.listdir(datadir) if f.startswith('exported_from_ref')]
+    if not files:
+        pytest.skip("no reference-exported files committed yet")
+    for f in files:
+        loaded = hio.load(os.path.join(datadir, f))
+        assert type(loaded['mps']) is MPS
+        assert_equal_data(loaded, gen_tpu_example_data())
+
+
 if __name__ == '__main__':
     # export the current version's example data into the compat corpus
     fn = get_datadir_filename()
-    hio.save(gen_example_data(), fn)
-    print("exported", fn)
+    if os.path.exists(fn):
+        print("keeping existing", fn, "(older-format coverage)")
+    else:
+        hio.save(gen_example_data(), fn)
+        print("exported", fn)
+    # and the reference library's own export (cross-library corpus)
+    tenpy = _ref_tenpy()
+    if tenpy is not None:
+        from tenpy.tools import hdf5_io as ref_io
+        os.makedirs(datadir, exist_ok=True)
+        fn = os.path.join(
+            datadir, f"exported_from_ref_tenpy_{tenpy.__version__}.h5")
+        with h5py.File(fn, 'w') as f:
+            ref_io.save_to_hdf5(f, gen_ref_example_data(tenpy))
+        print("exported", fn)
