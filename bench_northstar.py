@@ -168,23 +168,22 @@ def cmd_ours(chi, ramp_on_device=False):
     with open(state_path(chi), 'wb') as f:
         pickle.dump(psi, f)
     st = eng.sweep_stats
-    times, modes, flops = st['time'], st['mode'], st['flops_traced']
+    times, modes = st['time'], st['mode']
     print(f"compile+first sweep: {times[0]:.1f}s; chi reached "
           f"{max(psi.chi)}")
     # timed window: post-ramp sweeps in production mode, excluding the very
     # first sweep (compiles); median, not best
-    prod = [t for i, t in enumerate(times)
-            if i >= 1 + n_ramp and modes[i] == (mode or 'f64')]
+    prod_i = [i for i in range(len(times))
+              if i >= 1 + n_ramp and modes[i] == (mode or 'f64')]
+    prod = [times[i] for i in prod_i]
     prod_sorted = sorted(prod) if prod else [times[-1]]
     med = prod_sorted[len(prod_sorted) // 2]
-    # MFU: every program traces exactly once (counting its GEMM FLOPs into
-    # pk.FLOPS_TRACED, x K for the Lanczos loop).  With the uniform charge
-    # gauge ONE program per direction serves all L sites, so the traced
-    # total must be multiplied by L to get executed FLOPs per sweep; with
-    # per-bond layouts sweep 1 traces all 2L programs and the total IS one
-    # sweep.
-    uniform = len(set(eng.bond)) == 1   # value equality, like precompile()
-    sweep_flops = flops[0] * (eng.L if uniform else 1)
+    # MFU numerator: exact executed GEMM FLOPs per sweep — each update's
+    # traced program cost corrected by the run-time Lanczos trip count
+    # (DeviceSweepEngine.sweep records flops_exec; VERDICT r4 item 6).
+    # Median over the timed window, paired with the median time.
+    fe = [st['flops_exec'][i] for i in prod_i] or st['flops_exec'][-1:]
+    sweep_flops = sorted(fe)[len(fe) // 2]
     mfu = sweep_flops / med / V5E_BF16_PEAK if med > 0 else 0.
     for i, t in enumerate(times):
         print(f"  sweep {i+1} [{modes[i]}]: {t:.2f}s E0={st['E'][i]:.12f} "

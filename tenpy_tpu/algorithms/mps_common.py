@@ -190,7 +190,8 @@ def _matvec_2site_packed(LPp, RPp, W0p, W1p, v):
 
 def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
                                  P_tol=0., N_min=2, reortho=False,
-                                 matvec_mode=None, exact_E=False):
+                                 matvec_mode=None, exact_E=False,
+                                 flop_rec=None):
     """Convergence-controlled Lanczos + Ritz ground state on packed blocks.
 
     Unlike :func:`_lanczos_K_2site_impl` (per-block pytree leaves, capped by
@@ -243,8 +244,16 @@ def _lanczos_K_2site_packed_impl(LPp, RPp, W0p, W1p, theta0, K,
     v0 = theta0 * (1. / nrm0)
     real_dtype = jnp.zeros((), theta0.dtype).real.dtype
 
+    _mv_recorded = [False]
+
     def matvec(v):
         with pk.matmul_mode(matvec_mode):   # trace-time switch
+            if flop_rec is not None and not _mv_recorded[0]:
+                # record one iteration's GEMM FLOPs (the loop body traces
+                # once; executed FLOPs need the run-time trip count N)
+                _mv_recorded[0] = True
+                with pk.flop_record(flop_rec):
+                    return _matvec_2site_packed(LPp, RPp, W0p, W1p, v)
             return _matvec_2site_packed(LPp, RPp, W0p, W1p, v)
 
     def tree_dot(Vbuf, w):

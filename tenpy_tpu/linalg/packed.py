@@ -593,6 +593,40 @@ def flop_scale(k):
         _FLOP_SCALE = old
 
 
+class FlopRecorder:
+    """Accumulates the unscaled GEMM FLOPs of a traced region (see
+    :func:`flop_record`)."""
+    __slots__ = ('flops',)
+
+    def __init__(self):
+        self.flops = 0
+
+
+@contextmanager
+def flop_record(rec):
+    """Record a region's *unscaled* GEMM FLOPs into ``rec`` (trace time).
+
+    The region's FLOPs are counted at scale 1 into ``rec.flops`` and
+    simultaneously folded into the global :data:`FLOPS_TRACED` at the
+    enclosing :func:`flop_scale` (so outer accounting is unchanged).  Used to
+    measure the per-iteration matvec cost inside a ``lax.scan``/``while_loop``
+    body whose actual trip count is only known at run time — executed FLOPs
+    are then ``total - K * matvec + N_actual * matvec``
+    (:class:`~tenpy_tpu.algorithms.packed_dmrg.DeviceSweepEngine` MFU
+    accounting; VERDICT r4 item 6).
+    """
+    global FLOPS_TRACED, _FLOP_SCALE
+    save, save_scale = FLOPS_TRACED, _FLOP_SCALE
+    FLOPS_TRACED, _FLOP_SCALE = 0, 1
+    try:
+        yield
+    finally:
+        region = FLOPS_TRACED
+        rec.flops += region
+        FLOPS_TRACED = save + region * save_scale
+        _FLOP_SCALE = save_scale
+
+
 @contextmanager
 def matmul_mode(mode):
     """Trace-time switch: run f64 bucket GEMMs in reduced precision.
