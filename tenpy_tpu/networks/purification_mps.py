@@ -13,14 +13,45 @@ states at inverse temperature ``beta``.
 
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 
 from ..linalg import np_conserved as npc
-from ..linalg.charges import LegCharge
+from ..linalg.charges import ChargeInfo, LegCharge
 from .mps import MPS
 from ..tools.math import entropy
 
-__all__ = ['PurificationMPS']
+__all__ = ['PurificationMPS',
+           'convert_model_purification_canonical_conserve_ancilla_charge']
+
+
+def _doubled_chinfo(chinfo):
+    """ChargeInfo with a second copy of every charge for the ancilla space.
+
+    Reference scheme: ``tenpy/networks/purification_mps.py:310`` — physical
+    operators act on the first half, ancilla bookkeeping on the second.
+    """
+    names = list(chinfo.names) + [n + ' ancilla' for n in chinfo.names]
+    return ChargeInfo(list(chinfo.mod) * 2, names)
+
+
+def _doubled_leg(leg, chinfo2, which):
+    """Embed a LegCharge into the doubled charge space.
+
+    which = 'p'   : charges ``[Q, 0]``   (physical half)
+    which = 'q'   : charges ``[0, Q]``   (ancilla half)
+    which = 'bond': charges ``[Q, -Q]``  (bond legs carry opposite ancilla
+                    flow, so that ``delta_{p,q}`` tensors are charge-0)
+    """
+    Q = np.asarray(leg.charges)
+    if which == 'p':
+        Q2 = np.hstack([Q, np.zeros_like(Q)])
+    elif which == 'q':
+        Q2 = np.hstack([np.zeros_like(Q), Q])
+    else:
+        Q2 = np.hstack([Q, -Q])
+    return LegCharge(chinfo2, leg.slices, chinfo2.make_valid(Q2), leg.qconj)
 
 
 class PurificationMPS(MPS):
@@ -63,12 +94,18 @@ class PurificationMPS(MPS):
         (barthel2016, section VI.C).  Finite boundary conditions only.
 
         ``B[vL, p, q, vR] = delta_{p,q} delta_{Q(vL)+Q(p), Q(vR)}`` with bond
-        legs enumerating the reachable partial charges; the ancilla leg is
-        charge-less (``conserve_ancilla_charge=True`` is a round-2 item).
+        legs enumerating the reachable partial charges.
+
+        With ``conserve_ancilla_charge=True`` the number of conserved charges
+        is doubled: physical legs carry ``[Q, 0]``, ancilla legs ``[0, Q]``
+        and bond legs ``[Q, -Q]``, so physical and ancilla charge are
+        conserved *separately* (reference scheme:
+        ``tenpy/networks/purification_mps.py:310``).  The returned MPS's
+        ``sites`` are then converted copies; use
+        :func:`convert_model_purification_canonical_conserve_ancilla_charge`
+        on the model before running algorithms against this state.
         Reference: ``tenpy/networks/purification_mps.py:262``.
         """
-        if conserve_ancilla_charge:
-            raise NotImplementedError("separate ancilla charges: round 2")
         sites = list(sites)
         L = len(sites)
         chinfo = sites[0].leg.chinfo
@@ -92,11 +129,22 @@ class PurificationMPS(MPS):
         keep = [sorted(fwd[i] & bwd[i]) for i in range(L + 1)]
         if not keep[0] or not keep[L]:
             raise ValueError(f"charge sector {charge_sector} unreachable")
-        legs_v = [LegCharge.from_qflat(chinfo,
-                                       np.array(k, np.int64).reshape(len(k),
-                                                                     chinfo.qnumber),
-                                       qconj=+1)
-                  for k in keep]
+
+        def _v_qflat(k):
+            return np.array(k, np.int64).reshape(len(k), chinfo.qnumber)
+
+        if conserve_ancilla_charge:
+            chinfo2 = _doubled_chinfo(chinfo)
+            legs_v = [LegCharge.from_qflat(
+                chinfo2,
+                chinfo2.make_valid(np.hstack([_v_qflat(k), -_v_qflat(k)])),
+                qconj=+1) for k in keep]
+            sites = [copy.copy(s) for s in sites]
+            for s in sites:
+                s.change_charge(_doubled_leg(s.leg, chinfo2, 'p'))
+        else:
+            legs_v = [LegCharge.from_qflat(chinfo, _v_qflat(k), qconj=+1)
+                      for k in keep]
         Bs = []
         for i, site in enumerate(sites):
             d = site.dim
@@ -110,7 +158,17 @@ class PurificationMPS(MPS):
                     b = idxR.get(qR)
                     if b is not None:
                         dense[a, p, p, b] = 1.
-            q_leg = LegCharge.from_trivial(d, chinfo, qconj=-1)
+            if conserve_ancilla_charge:
+                # charges [0, Q_p] with qconj=-1: the entry rule then reads
+                # physical: Q(vL) + Q(p) = Q(vR); ancilla: -Q(vL) + Q(q) =
+                # -Q(vR) — separately conserved, delta_{p,q} entries charge-0
+                Qp = np.asarray(site.leg.charges)[:, :chinfo.qnumber]
+                q_leg = LegCharge(
+                    chinfo2, site.leg.slices,
+                    chinfo2.make_valid(np.hstack([np.zeros_like(Qp), Qp])),
+                    -1)
+            else:
+                q_leg = LegCharge.from_trivial(d, chinfo, qconj=-1)
             B = npc.Array.from_ndarray(
                 dense, [legs_v[i], site.leg, q_leg, legs_v[i + 1].conj()],
                 labels=['vL', 'p', 'q', 'vR'], dtype=dtype,
@@ -243,8 +301,104 @@ class PurificationMPS(MPS):
             res[i, 1] = npc.norm(c - npc.eye_like(c, 0))
         return res
 
-    def entanglement_entropy_segment(self, segment, n=1):
-        raise NotImplementedError
+    def get_rho_segment(self, segment):
+        """Reduced density matrix of the given sites, keeping both p and q
+        legs (labels ``p0, q0, p0*, q0*, ...``); traced sites trace over both.
+        Reference: ``tenpy/networks/purification_mps.py`` (via the base
+        class's ``_p_label`` machinery)."""
+        segment = np.sort(np.asarray(segment, int))
+        if len(segment) > 10:
+            raise ValueError("segment too large: exponentially expensive")
+        if np.all(segment[1:] == segment[:-1] + 1):
+            # contiguous: the overridden get_theta already carries q labels
+            theta = self.get_theta(int(segment[0]),
+                                   int(segment[-1] - segment[0] + 1))
+            return npc.tensordot(theta, theta.conj(),
+                                 axes=[['vL', 'vR'], ['vL*', 'vR*']])
+        rho = self.get_theta(int(segment[0]), 1)
+        rho = npc.tensordot(rho, rho.conj(), axes=[['vL'], ['vL*']])
+        k = 1
+        for i in range(int(segment[0]) + 1, int(segment[-1])):
+            B = self.get_B(i, 'B')
+            if k < len(segment) and i == segment[k]:
+                B = B.replace_labels(['p', 'q'], [f'p{k}', f'q{k}'])
+                k += 1
+                rho = npc.tensordot(rho, B, axes=[['vR'], ['vL']])
+                rho = npc.tensordot(rho, B.conj(), axes=[['vR*'], ['vL*']])
+            else:
+                rho = npc.tensordot(rho, B, axes=[['vR'], ['vL']])
+                rho = npc.tensordot(rho, B.conj(),
+                                    axes=[['vR*', 'p', 'q'],
+                                          ['vL*', 'p*', 'q*']])
+        B = self.get_B(int(segment[-1]), 'B').replace_labels(
+            ['p', 'q'], [f'p{k}', f'q{k}'])
+        rho = npc.tensordot(rho, B, axes=[['vR'], ['vL']])
+        rho = npc.tensordot(rho, B.conj(),
+                            axes=[['vR*', 'vR'], ['vL*', 'vR*']])
+        return rho
+
+    @staticmethod
+    def _pq_tr_comb(legs, N):
+        """(trace-legs, combine-legs) label pairs for a p/q/pq choice."""
+        def labels(choice):
+            res1 = [c + str(k) for k in range(N) for c in choice]
+            res2 = [c + str(k) + '*' for k in range(N) for c in choice]
+            return res1, res2
+        if legs == 'pq':
+            return ([], []), labels(['p', 'q'])
+        if legs == 'p':
+            return labels(['q']), labels(['p'])
+        if legs == 'q':
+            return labels(['p']), labels(['q'])
+        raise ValueError(f"legs must be 'p', 'q' or 'pq', got {legs!r}")
+
+    def entanglement_entropy_segment(self, segment=[0], first_site=None, n=1,
+                                     legs='p'):
+        r"""Entanglement entropy of a segment's reduced density matrix,
+        in the physical (``legs='p'``), ancilla (``'q'``) or combined
+        (``'pq'``) space.  Reference:
+        ``tenpy/networks/purification_mps.py:380``."""
+        segment = np.sort(segment)
+        if first_site is None:
+            if self.finite:
+                first_site = range(0, self.L - segment[-1])
+            else:
+                first_site = range(self.L)
+        N = len(segment)
+        tr_legs, comb_legs = self._pq_tr_comb(legs, N)
+        res = []
+        for i0 in first_site:
+            rho = self.get_rho_segment(segment + i0)
+            for a, b in zip(*tr_legs):
+                rho = npc.trace(rho, a, b)
+            rho = rho.combine_legs(comb_legs, qconj=[+1, -1])
+            p = np.asarray(npc.eigvalsh(rho))
+            res.append(entropy(p, n))
+        return np.array(res)
+
+    def mutinf_two_site(self, max_range=None, n=1, legs='p'):
+        """Two-site mutual information ``I(i:j) = S(i) + S(j) - S(i,j)`` in
+        the chosen (p/q/pq) space.  Reference:
+        ``tenpy/networks/purification_mps.py:425``."""
+        if max_range is None:
+            max_range = self.L
+        S_i = self.entanglement_entropy_segment(n=n, legs=legs)
+        tr_legs, comb_legs = self._pq_tr_comb(legs, 2)
+        mutinf = []
+        coords = []
+        for i in range(self.L):
+            jmax = i + max_range + 1
+            if self.finite:
+                jmax = min(jmax, self.L)
+            for j in range(i + 1, jmax):
+                rho_ij = self.get_rho_segment([i, j])
+                for a, b in zip(*tr_legs):
+                    rho_ij = npc.trace(rho_ij, a, b)
+                rho_ij = rho_ij.combine_legs(comb_legs, qconj=[+1, -1])
+                S_ij = entropy(np.asarray(npc.eigvalsh(rho_ij)), n)
+                mutinf.append(S_i[i] + S_i[j % self.L] - S_ij)
+                coords.append((i, j))
+        return np.array(coords), np.array(mutinf)
 
     def canonical_form_finite(self, renormalize=True, cutoff=0., envs_to_update=None):
         """QR/SVD sweeps treating (p, q) as one fat physical leg."""
@@ -281,3 +435,69 @@ class PurificationMPS(MPS):
         self._B[0] = M.copy(deep=False).iscale_axis(self._scale_S(SL0, -1.), 'vL')
         self.form[0] = self._valid_forms['B']
         return self
+
+
+def convert_model_purification_canonical_conserve_ancilla_charge(model):
+    """Shallow model copy with charges doubled for the separate-ancilla
+    scheme of :meth:`PurificationMPS.from_infiniteT_canonical`
+    (``conserve_ancilla_charge=True``).
+
+    Site legs get charges ``[Q, 0]``, MPO wL/wR legs ``[Q, -Q]`` and MPO
+    qtotals ``[Q, 0]``, so ``H_MPO``/``H_bond`` act on the physical half and
+    are neutral in the ancilla half.  Reference:
+    ``tenpy/networks/purification_mps.py:695``.
+    """
+    model = model.copy()
+    chinfo = model.lat.unit_cell[0].leg.chinfo
+    chinfo2 = _doubled_chinfo(chinfo)
+    converted = {}
+
+    def _site(site):
+        s2 = converted.get(id(site))
+        if s2 is None:
+            s2 = copy.copy(site)
+            s2.change_charge(_doubled_leg(site.leg, chinfo2, 'p'))
+            converted[id(site)] = s2
+        return s2
+
+    model.lat = copy.copy(model.lat)
+    model.lat.unit_cell = [_site(s) for s in model.lat.unit_cell]
+
+    if hasattr(model, 'H_MPO'):
+        H = model.H_MPO.copy()
+        H.sites = [_site(s) for s in H.sites]
+        H.chinfo = chinfo2
+        Ws = []
+        for W in H._W:
+            W = W.copy(deep=False).itranspose(['wL', 'wR', 'p', 'p*'])
+            legs = list(W.legs)
+            legs[0] = _doubled_leg(legs[0], chinfo2, 'bond')
+            legs[1] = _doubled_leg(legs[1], chinfo2, 'bond')
+            legs[2] = _doubled_leg(legs[2], chinfo2, 'p')
+            legs[3] = legs[2].conj()
+            W.legs = tuple(legs)
+            qt = np.asarray(W.qtotal)
+            W.qtotal = tuple(int(q) for q in chinfo2.make_valid(
+                np.hstack([qt, np.zeros_like(qt)])))
+            Ws.append(W)
+        H._W = Ws
+        model.H_MPO = H
+
+    if hasattr(model, 'H_bond'):
+        sites = model.lat.mps_sites()   # already converted
+        L = len(sites)
+        H_bond = list(model.H_bond)
+        for i, Hb in enumerate(H_bond):
+            if Hb is None:
+                continue
+            leg0 = sites[(i - 1) % L].leg
+            leg1 = sites[i].leg
+            Hb = Hb.transpose(['p0', 'p1', 'p0*', 'p1*'])
+            Hb.legs = (leg0, leg1, leg0.conj(), leg1.conj())
+            qt = np.asarray(Hb.qtotal)
+            Hb.qtotal = tuple(int(q) for q in chinfo2.make_valid(
+                np.hstack([qt, np.zeros_like(qt)])))
+            Hb.test_sanity()
+            H_bond[i] = Hb
+        model.H_bond = H_bond
+    return model

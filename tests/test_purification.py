@@ -131,6 +131,101 @@ def test_from_infiniteT_canonical():
         assert abs(psi2.expectation_value('Sz')[i] - exact) < 1e-10
 
 
+def test_from_infiniteT_canonical_conserve_ancilla():
+    """Separate ancilla-charge conservation: the doubled-charge canonical
+    ensemble must reproduce the single-charge one observable for observable.
+    Reference scheme: tenpy/networks/purification_mps.py:310."""
+    L = 4
+    site = SpinHalfSite('Sz')
+    psi1 = PurificationMPS.from_infiniteT_canonical([site] * L, [0])
+    psi2 = PurificationMPS.from_infiniteT_canonical(
+        [site] * L, [0], conserve_ancilla_charge=True)
+    psi2.test_sanity()
+    chinfo2 = psi2.sites[0].leg.chinfo
+    assert chinfo2.qnumber == 2
+    assert list(chinfo2.names)[1].endswith('ancilla')
+    assert np.allclose(psi2.expectation_value('Sz'),
+                       psi1.expectation_value('Sz'), atol=1e-12)
+    for (i, j) in [(0, 1), (0, 3)]:
+        c1 = complex(psi1.correlation_function(
+            'Sz', 'Sz', sites1=[i], sites2=[j]).ravel()[0])
+        c2 = complex(psi2.correlation_function(
+            'Sz', 'Sz', sites1=[i], sites2=[j]).ravel()[0])
+        assert abs(c1 - c2) < 1e-10
+    # entanglement spectra agree too (the relabeling is a pure gauge)
+    assert np.allclose(psi2.entanglement_entropy(),
+                       psi1.entanglement_entropy(), atol=1e-10)
+
+
+def test_purification_tebd_canonical_ancilla():
+    """Finite-T TEBD in the canonical ensemble with *conserved ancilla
+    charges*: energy at beta matches the exact fixed-Sz thermal value.
+    Reference machinery:
+    convert_model_purification_canonical_conserve_ancilla_charge
+    (tenpy/networks/purification_mps.py:695)."""
+    import functools
+    from tenpy_tpu.networks.purification_mps import \
+        convert_model_purification_canonical_conserve_ancilla_charge
+    from tenpy_tpu.models.xxz_chain import XXZChain
+    from tenpy_tpu.models.model import NearestNeighborModel
+    L, beta = 4, 1.0
+    m = XXZChain({'L': L, 'Jxx': 1., 'Jz': 1.3, 'hz': 0., 'bc_MPS': 'finite'})
+    mnn = NearestNeighborModel.from_MPOModel(m)
+    mnn_cac = convert_model_purification_canonical_conserve_ancilla_charge(mnn)
+    site = m.lat.mps_sites()[0]
+    sp = np.asarray(site.Sp.to_ndarray())
+    sm = np.asarray(site.Sm.to_ndarray())
+    szm = np.asarray(site.Sz.to_ndarray())
+
+    def two(i, a, b):
+        ops = [np.eye(2)] * L
+        ops[i] = a
+        ops[i + 1] = b
+        return functools.reduce(np.kron, ops)
+
+    Hk = sum(0.5 * (two(i, sp, sm) + two(i, sm, sp)) + 1.3 * two(i, szm, szm)
+             for i in range(L - 1))
+    Szt = sum(functools.reduce(np.kron,
+                               [szm if j == i else np.eye(2) for j in range(L)])
+              for i in range(L))
+    sector = np.isclose(np.diag(Szt), 0.)
+    ws = np.linalg.eigvalsh(Hk[np.ix_(sector, sector)])
+    Z = np.sum(np.exp(-beta * (ws - ws[0])))
+    E_exact = float(np.sum(ws * np.exp(-beta * (ws - ws[0]))) / Z)
+    psi = PurificationMPS.from_infiniteT_canonical(
+        m.lat.mps_sites(), [0], conserve_ancilla_charge=True)
+    eng = PurificationTEBD(psi, mnn_cac, {
+        'trunc_params': {'chi_max': 64, 'svd_min': 1e-13},
+        'dt': 0.025, 'order': 2})
+    eng.run_imaginary(beta)
+    E = np.sum(eng.bond_energies()) / psi.overlap(psi).real
+    assert abs(E - E_exact) < 1e-4
+    # the evolution stayed in the doubled-charge framework
+    psi.test_sanity()
+    assert psi.sites[0].leg.chinfo.qnumber == 2
+
+
+def test_entanglement_entropy_segment_and_mutinf():
+    """Segment entropies of the infinite-T purification: each site is a
+    maximally entangled p-q pair, so S_p(segment) = |segment| log 2,
+    S_pq(segment) = 0, and all two-site mutual information vanishes."""
+    L = 4
+    site = SpinHalfSite('Sz')
+    psi = PurificationMPS.from_infiniteT([site] * L)
+    S_p = psi.entanglement_entropy_segment([0, 1], n=1, legs='p')
+    assert np.allclose(S_p, 2 * np.log(2), atol=1e-10)
+    S_q = psi.entanglement_entropy_segment([0, 1], n=1, legs='q')
+    assert np.allclose(S_q, 2 * np.log(2), atol=1e-10)
+    S_pq = psi.entanglement_entropy_segment([0, 1], n=1, legs='pq')
+    assert np.allclose(S_pq, 0., atol=1e-10)
+    # non-contiguous segment exercises the q-aware rho walk
+    S_nc = psi.entanglement_entropy_segment([0, 2], n=1, legs='p')
+    assert np.allclose(S_nc, 2 * np.log(2), atol=1e-10)
+    coords, mutinf = psi.mutinf_two_site(legs='p')
+    assert np.allclose(mutinf, 0., atol=1e-10)
+    assert len(coords) == L * (L - 1) // 2
+
+
 def test_update_imag_second_order():
     """Canonical-form-preserving imaginary updates are 2nd order in dt
     (the generic inverse-free update degrades to 1st order for non-unitary
