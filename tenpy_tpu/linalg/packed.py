@@ -915,29 +915,39 @@ def tensordot(a, b, axes):
             contrib[so][0].append(c.reshape(len(o_uniq), -1))
             continue
 
-        def gather(buf, pos, new_shape):
+        def gather(buf, pos, new_shape, kind):
             if buf is None:
                 return None
             if B != buf.shape[0] or not np.array_equal(pos, np.arange(B)):
                 buf = buf[jnp.asarray(pos)]
             buf = buf.reshape(new_shape).astype(buf_dtype)
             if _PACKED_MESH is not None:
-                # multi-chip: shard every GEMM bucket's batch dimension over
-                # the mesh (GSPMD inserts the collectives); SURVEY §5.8
+                # multi-chip: shard every GEMM bucket over the mesh (GSPMD
+                # inserts the collectives; SURVEY §5.8).  Data-parallel over
+                # the batch dim when it divides; else tensor-parallel over
+                # the free GEMM dims (a: rows m, b: cols n) — the big
+                # uniform-gauge layouts have few large buckets, so the
+                # batch dim alone cannot feed a mesh.
                 from jax.sharding import NamedSharding, PartitionSpec
                 axis = _PACKED_MESH.axis_names[0]
-                spec = NamedSharding(
-                    _PACKED_MESH,
-                    PartitionSpec(axis if B % _PACKED_MESH.size == 0
-                                  else None, None, None))
-                buf = jax.lax.with_sharding_constraint(buf, spec)
+                nd = _PACKED_MESH.size
+                if B % nd == 0:
+                    spec = PartitionSpec(axis, None, None)
+                elif kind == 'a' and new_shape[1] % nd == 0:
+                    spec = PartitionSpec(None, axis, None)
+                elif kind == 'b' and new_shape[2] % nd == 0:
+                    spec = PartitionSpec(None, None, axis)
+                else:
+                    spec = PartitionSpec(None, None, None)
+                buf = jax.lax.with_sharding_constraint(
+                    buf, NamedSharding(_PACKED_MESH, spec))
             return buf
 
-        ar = gather(at.data[sa], a_pos, (B, m, kk))
-        br = gather(bt.data[sb], b_pos, (B, kk, n))
-        ai = gather(at.data_im[sa], a_pos, (B, m, kk)) if at.iscomplex \
+        ar = gather(at.data[sa], a_pos, (B, m, kk), 'a')
+        br = gather(bt.data[sb], b_pos, (B, kk, n), 'b')
+        ai = gather(at.data_im[sa], a_pos, (B, m, kk), 'a') if at.iscomplex \
             else None
-        bi = gather(bt.data_im[sb], b_pos, (B, kk, n)) if bt.iscomplex \
+        bi = gather(bt.data_im[sb], b_pos, (B, kk, n), 'b') if bt.iscomplex \
             else None
         if not iscomplex:
             cs = [_mm(ar, br)]

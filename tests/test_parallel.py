@@ -88,6 +88,50 @@ def test_dense_tebd_matches_single_device(n_dev):
     assert np.allclose(np.asarray(Bn), np.asarray(B1), atol=1e-9)
 
 
+def test_packed_engine_sharded_parity():
+    """The production DeviceSweepEngine under a GSPMD-sharded mesh (every
+    packed GEMM bucket constrained over 8 devices, batch- or tensor-parallel)
+    must reproduce the unsharded engine's energies and written-back state to
+    1e-10 (VERDICT r4 item 5)."""
+    from tenpy_tpu.linalg import packed as pk
+    from tenpy_tpu.networks.mps import MPS
+    from tenpy_tpu.models.spins import SpinChain
+    from tenpy_tpu.algorithms import dmrg as dmrg_mod
+    from tenpy_tpu.algorithms.packed_dmrg import DeviceSweepEngine
+
+    def _seed_state():
+        m = SpinChain({'S': 1, 'L': 4, 'Jx': 1., 'Jy': 1., 'Jz': 1.,
+                       'bc_MPS': 'finite', 'conserve': 'Sz'})
+        psi = MPS.from_product_state(m.lat.mps_sites(), ['1.0', '-1.0'] * 2,
+                                     bc='finite')
+        dmrg_mod.TwoSiteDMRGEngine(psi, m, {
+            'trunc_params': {'chi_max': 8, 'svd_min': 1e-10},
+            'max_sweeps': 2}).run()
+        return m, psi
+
+    opts = {'chi_max': 24, 'svd_min': 1e-10, 'lanczos_K': 6, 'n_sweeps': 3,
+            'multiple': 8}
+    m, psi_1 = _seed_state()
+    E_1, _ = DeviceSweepEngine(psi_1, m, dict(opts)).run()
+
+    m2, psi_n = _seed_state()
+    mesh = _mesh(8)
+    pk.set_packed_mesh(mesh)
+    try:
+        with mesh:
+            E_n, _ = DeviceSweepEngine(psi_n, m2, dict(opts)).run()
+    finally:
+        pk.set_packed_mesh(None)
+    assert abs(E_n - E_1) < 1e-10, (E_n, E_1)
+    # Sharded reductions reorder floating-point sums, which rotates SVD
+    # bases inside (near-)degenerate Schmidt subspaces — a pure gauge
+    # freedom.  Compare gauge-invariant quantities, not raw tensors.
+    assert abs(abs(psi_n.overlap(psi_1)) - 1.) < 1e-9
+    Sz_1 = psi_1.expectation_value('Sz')
+    Sz_n = psi_n.expectation_value('Sz')
+    assert np.allclose(Sz_n, Sz_1, atol=1e-9)
+
+
 def test_dryrun_multichip_entry():
     """The driver's dry-run entry point passes on the virtual CPU mesh."""
     import sys
