@@ -24,14 +24,14 @@ import logging
 import numpy as np
 
 from .simulation import Simulation, GroundStateSearch
-from ..networks.mps import MPS
+from ..networks.mps import MPS, InitialStateBuilder
 from ..tools import io as tio
 from ..tools.misc import find_subclass
 
 logger = logging.getLogger(__name__)
 
 __all__ = ['GroundStateSearch', 'OrthogonalExcitations', 'TopologicalExcitations',
-           'PlaneWaveExcitations']
+           'PlaneWaveExcitations', 'ExcitationInitialState']
 
 
 class OrthogonalExcitations(GroundStateSearch):
@@ -103,30 +103,24 @@ class OrthogonalExcitations(GroundStateSearch):
         self.orthogonal_to = [self.ground_state]
 
     def _initial_guess(self):
+        """Build the next excitation's initial state via a declarative builder.
+
+        Dispatches on ``initial_state_builder_class`` (default
+        :class:`ExcitationInitialState`), mirroring the reference's
+        ``init_state`` wiring (reference ground_state_search.py:520).  Any
+        other :class:`~tenpy_tpu.networks.mps.InitialStateBuilder` subclass
+        gets the standard ``(lattice, params)`` constructor.
+        """
+        from ..networks.mps import InitialStateBuilder
         params = self.options.subconfig('initial_state_params')
-        if len(params.as_dict()) > 0:
-            from ..networks.mps import InitialStateBuilder
-            builder = InitialStateBuilder(self.model.lat, params)
-            return builder.run()
-        psi = self.ground_state.copy()
-        local_op = self.options.get('apply_local_op', None)
-        if local_op is not None:
-            psi.apply_local_op(local_op['i'], local_op['op'],
-                               unitary=False, renormalize=True)
-            if psi.bc != 'segment':  # segment canonicalization would break
-                psi.canonical_form()  # the embedding (see TODO.md)
-            return psi
-        # a copy of the ground state is (nearly) parallel to the projected-out
-        # states: the orthogonalized eigensolve would start from ~zero.
-        # Perturb with identity-close random two-site unitaries instead.
-        from ..algorithms.tebd import RandomUnitaryEvolution
-        RandomUnitaryEvolution(psi, {
-            'N_steps': 2, 'close_1': True,
-            'trunc_params': {'chi_max': max(max(psi.chi), 8),
-                             'svd_min': 1e-12}}).run()
-        if psi.bc != 'segment':
-            psi.canonical_form()
-        return psi
+        builder_class = self.options.get('initial_state_builder_class',
+                                         'ExcitationInitialState')
+        Builder = find_subclass(InitialStateBuilder, builder_class)
+        if issubclass(Builder, ExcitationInitialState):
+            builder = Builder(self, params)
+        else:
+            builder = Builder(self.model.lat, params)
+        return builder.run()
 
     def init_algorithm(self, **kwargs):
         from ..algorithms.algorithm import Algorithm
@@ -178,6 +172,69 @@ class OrthogonalExcitations(GroundStateSearch):
                         E - self.results['ground_state_energy'])
             self.make_measurements()
         return self.results['excitation_energies']
+
+
+class ExcitationInitialState(InitialStateBuilder):
+    """Declarative initial states for :class:`OrthogonalExcitations`.
+
+    Rebuild of the reference's ``ExcitationInitialState``
+    (``tenpy/simulations/ground_state_search.py:1249``): a builder that knows
+    the parent simulation, so the next excitation's initial guess can start
+    from the previously found states.
+
+    Options (method ``'from_orthogonal'`` is the default):
+
+    use_highest_excitation : bool
+        True (default): perturb the last state in ``sim.orthogonal_to`` (the
+        most recently found excitation); False: perturb the ground state.
+    apply_local_op : dict ``{'i': int, 'op': str}``
+        Apply a local operator (e.g. a spin flip) instead of the random
+        perturbation — also switches the charge sector.  Falls back to the
+        simulation-level option of the same name.
+    randomize_params : dict
+        Options for :meth:`~tenpy_tpu.networks.mps.MPS.perturb` (random
+        near-identity two-site unitaries).
+    randomize_close_1 : bool
+        Whether the perturbing unitaries stay close to the identity (True).
+    """
+
+    def __init__(self, sim, options):
+        self.sim = sim
+        super().__init__(sim.model.lat, options)
+        self.options.setdefault('method', 'from_orthogonal')
+
+    def from_orthogonal(self):
+        sim = self.sim
+        use_highest = self.options.get('use_highest_excitation', True, bool)
+        if use_highest and sim.orthogonal_to:
+            psi = sim.orthogonal_to[-1]
+        else:
+            psi = sim.ground_state
+        psi = psi.copy()
+        local_op = self.options.get('apply_local_op', None)
+        if local_op is None:
+            local_op = sim.options.get('apply_local_op', None)
+        if local_op is not None:
+            psi.apply_local_op(local_op['i'], local_op['op'],
+                               unitary=False, renormalize=True)
+            if psi.bc != 'segment':  # segment canonicalization would break
+                psi.canonical_form()  # the infinite-environment embedding
+            return psi
+        return self._perturb(psi)
+
+    def _perturb(self, psi):
+        # a copy of the previous state is (nearly) parallel to the projected-
+        # out states: the orthogonalized eigensolve would start from ~zero.
+        # Perturb with identity-close random two-site unitaries instead.
+        randomize = self.options.subconfig('randomize_params')
+        randomize.setdefault('N_steps', 2)
+        randomize.setdefault('trunc_params',
+                             {'chi_max': max(max(psi.chi), 8),
+                              'svd_min': 1e-12})
+        close_1 = self.options.get('randomize_close_1', True, bool)
+        psi.perturb(randomize, close_1=close_1,
+                    canonicalize=(psi.bc != 'segment'))
+        return psi
 
 
 class TopologicalExcitations(OrthogonalExcitations):
