@@ -501,6 +501,9 @@ class TwoSiteDMRGEngine(DMRGEngine):
                                               qtotal_LR=[qtotal_i0, None],
                                               inner_labels=['vR', 'vL'])
             S_a = S
+        elif self.mixer.update_sites == 1:
+            # single-site mixers (SubspaceExpansion) enrich the enclosed bond
+            U, S, VH, err, S_a = self.mixer.mixed_svd_2site(self, theta, i0)
         else:
             U, S, VH, err, S_a = self.mixer.perturb_svd(self, theta, i0,
                                                         update_LP, update_RP)

@@ -921,6 +921,55 @@ class SubspaceExpansion(Mixer):
             B_f.iset_leg_labels(['vL', 'p0', 'vR'])
             return C, S_pad, B_f, err
 
+    def mixed_svd_2site(self, engine, theta, i0):
+        """Two-site decomposition with subspace expansion of the enclosed bond.
+
+        ``theta`` has combined legs ``('(vL.p0)', '(p1.vR)')``.  The enclosed
+        bond's right basis is enriched with the ``W(i0+1) . RP`` environment
+        channels (the reference's ``mix_and_decompose_2site`` with
+        ``mix_right=True``, ``tenpy/algorithms/mps_common.py:1764``).  Unlike
+        the reference — whose fallback leaves ``U`` non-isometric — the
+        ORIGINAL theta is then re-split inside the enriched basis via an exact
+        chi x chi SVD, so both returned tensors are isometries and ``S`` holds
+        theta's true Schmidt values there (expanded directions enter with
+        ~zero weight, available to the next update).  Used by two-site DMRG
+        and two-site VUMPS when a single-site mixer is configured.
+
+        Returns ``(U, S, VH, err, S_approx)`` with ``theta ~= U diag(S) VH``.
+        """
+        amp = np.sqrt(self.current_amplitude)
+        env = engine.env
+        th = theta
+        if '(vL.p0)' not in th.get_leg_labels():
+            th = th.combine_legs([['vL', 'p0'], ['p1', 'vR']], qconj=[+1, -1])
+        th_r = th.split_legs(['(p1.vR)']).itranspose(['(vL.p0)', 'p1', 'vR'])
+        RP = env.get_RP(i0 + 1)
+        W1 = env.H.get_W(i0 + 1).replace_labels(['p', 'p*'], ['p1', 'p1*'])
+        ex = npc.tensordot(th_r, RP, axes=[['vR'], ['vL']])
+        ex = npc.tensordot(ex, W1, axes=[['wL', 'p1'], ['wR', 'p1*']])
+        # legs ('(vL.p0)', vL*, p1, wL): stack the wL channels as extra rows
+        ex = ex.combine_legs([['wL', '(vL.p0)']], qconj=[+1])
+        ex.ireplace_labels(['(wL.(vL.p0))', 'vL*'], ['(vL.p0)', 'vR'])
+        ex = (ex * amp).itranspose(['(vL.p0)', 'p1', 'vR'])
+        th_ex = npc.concatenate([th_r, ex], axis='(vL.p0)')
+        th_ex = th_ex.combine_legs([['p1', 'vR']], qconj=[-1])
+        _, _, VH, err, _ = svd_theta(th_ex, self._trunc(engine),
+                                     qtotal_LR=[th_ex.qtotal, None],
+                                     inner_labels=['vR', 'vL'])
+        # project the ORIGINAL theta onto the enriched right basis (exact)
+        M = npc.tensordot(th, VH.conj(), axes=[['(p1.vR)'], ['(p1*.vR*)']])
+        M.ireplace_label('vL*', 'vR')
+        qtotal_L = engine.psi.get_B(i0, None).qtotal
+        chinfo = th.chinfo
+        U, S, V2 = npc.svd(M, qtotal_LR=[chinfo.make_valid(qtotal_L), None],
+                           inner_labels=['vR', 'vL'])
+        S = np.asarray(S)
+        nrm = np.linalg.norm(S)
+        if nrm > 0:
+            S = S / nrm
+        VH_f = npc.tensordot(V2, VH, axes=[['vR'], ['vL']])
+        return U, S, VH_f, err, S
+
 
 # ======================================================================== sweeps
 class Sweep(Algorithm):

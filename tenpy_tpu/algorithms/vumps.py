@@ -28,7 +28,8 @@ from ..networks.mps import MPS
 from ..networks.uniform_mps import UniformMPS
 from ..tools.math import entropy
 from ..tools.params import asConfig
-from .mps_common import IterativeSweeps, OneSiteH, TwoSiteH, ZeroSiteH
+from .mps_common import (IterativeSweeps, OneSiteH, TwoSiteH, ZeroSiteH,
+                         DensityMatrixMixer)
 
 logger = logging.getLogger(__name__)
 
@@ -243,17 +244,16 @@ class VUMPSEngine(IterativeSweeps):
     def free_no_longer_needed_envs(self):
         pass
 
-    def mixer_activate(self):
-        pass  # mixers not supported for VUMPS yet
-
+    # mixer_activate inherited from Sweep; a UniformMPS naturally stores the
+    # bond matrices C, so no matrix-S absorption cleanup is needed
+    # (reference vumps.py:371)
     def mixer_deactivate(self):
-        pass
+        if self.mixer is not None:
+            logger.info("disable mixer after %d sweeps", self.sweeps)
+        self.mixer = None
 
     def mixer_cleanup(self):
-        pass
-
-    def mixer_cleanup_after_sweep(self):
-        pass
+        pass  # see mixer_deactivate
 
 
 class SingleSiteVUMPSEngine(VUMPSEngine):
@@ -263,6 +263,15 @@ class SingleSiteVUMPSEngine(VUMPSEngine):
     """
 
     EffectiveH = OneSiteH
+
+    def mixer_activate(self):
+        # check the raw option: with no DefaultMixer the base activate would
+        # silently ignore mixer=True instead of surfacing the misuse
+        if self.options.get('mixer', False):   # reference vumps.py:567
+            raise NotImplementedError(
+                "no mixer for SingleSiteVUMPS (fixed chi); use "
+                "TwoSiteVUMPSEngine to grow the bond dimension")
+        super().mixer_activate()
 
     def update_env(self, **update_data):
         """Rotate the environment guess by the diagonal-gauge unitaries.
@@ -355,10 +364,22 @@ class TwoSiteVUMPSEngine(VUMPSEngine):
 
     EffectiveH = TwoSiteH
 
+    DefaultMixer = DensityMatrixMixer
+
     def __init__(self, psi, model, options, **kwargs):
         super().__init__(psi, model, options, **kwargs)
         if not self.psi.L > 1:
             raise ValueError("two-site VUMPS needs a unit cell of L > 1")
+
+    def mixer_activate(self):
+        super().mixer_activate()
+        if isinstance(self.mixer, DensityMatrixMixer) and self.psi.L <= 2:
+            # the density-matrix mixer needs independent LP(i0)/RP(i0+1);
+            # in a <=2-site unit cell they wrap onto the updated bond
+            # (reference vumps.py:718)
+            raise NotImplementedError(
+                "DensityMatrixMixer needs a unit cell of L > 2 for VUMPS; "
+                "use mixer='SubspaceExpansion'")
 
     def update_env(self, **update_data):
         self.guess_init_env_data = None  # bond dims change: cannot reuse
@@ -408,14 +429,31 @@ class TwoSiteVUMPSEngine(VUMPSEngine):
                 'N0_L': N0_1, 'N0_R': N0_2, 'N1': N2}
 
     def mixed_svd(self, theta):
-        """Truncated SVD of the two-site theta; S as a (diagonal) npc matrix.
+        """Truncated SVD of the two-site theta; S as an npc bond matrix.
 
-        Reference: ``vumps.py:838``."""
-        U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
-                                          inner_labels=['vR', 'vL'])
-        S_a = np.asarray(S)
-        S_npc = npc.diag(S_a, U.get_leg('vR').conj(), labels=['vL', 'vR'])
-        return U, S_npc, VH, err, S_a
+        Without a mixer, a plain truncated SVD (S diagonal).  With a mixer,
+        the bond basis is perturbed/enriched first: single-site mixers
+        (SubspaceExpansion) go through
+        :meth:`~tenpy_tpu.algorithms.mps_common.SubspaceExpansion.mixed_svd_2site`,
+        the DensityMatrixMixer through its two-site ``perturb_svd`` (S then a
+        general matrix — natural for a UniformMPS, whose bond tensors C are
+        matrices anyway).  Reference: ``vumps.py:838``.
+        """
+        if self.mixer is None:
+            U, S, VH, err, renorm = svd_theta(theta, self.trunc_params,
+                                              inner_labels=['vR', 'vL'])
+            S_a = np.asarray(S)
+        elif self.mixer.update_sites == 1:
+            U, S, VH, err, S_a = self.mixer.mixed_svd_2site(
+                self, theta, self.i0)
+        else:
+            U, S, VH, err, S_a = self.mixer.perturb_svd(self, theta, self.i0,
+                                                        True, True)
+        if isinstance(S, npc.Array):
+            return U, S, VH, err, np.asarray(S_a)
+        S_npc = npc.diag(np.asarray(S), U.get_leg('vR').conj(),
+                         labels=['vL', 'vR'])
+        return U, S_npc, VH, err, np.asarray(S_a)
 
     def polar_max(self, AC1, AC2, C1, C3):
         """AR1 with ``C1 AR1 = AC1`` and AL2 with ``AL2 C3 = AC2``.

@@ -530,8 +530,34 @@ def unpack(p, orig_legs=None, purge=True):
 _PACKED_PLAN_CACHE = {}
 _PACKED_MESH = None
 _MATMUL_MODE = None
-_FLOP_SCALE = 1
-FLOPS_TRACED = 0   # trace-time GEMM FLOP counter (see flop_scale)
+
+
+import threading as _threading
+
+
+class _FlopState(_threading.local):
+    """Thread-local trace-time GEMM FLOP counter + scale.
+
+    Thread-local because :meth:`DeviceSweepEngine.precompile` warms programs
+    on a thread pool — concurrent traces through a shared global counter
+    interleave ``flop_record`` save/restore and corrupt every recorder
+    (observed: a K=3 program recording 279 MFLOP instead of 12).
+    The module attribute ``FLOPS_TRACED`` reads the calling thread's value
+    (module ``__getattr__`` below).
+    """
+
+    def __init__(self):
+        self.traced = 0
+        self.scale = 1
+
+
+_FLOPS = _FlopState()
+
+
+def __getattr__(name):   # PEP 562: packed.FLOPS_TRACED -> this thread's count
+    if name == 'FLOPS_TRACED':
+        return _FLOPS.traced
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 # Pallas fused gather->grouped-GEMM->segment-sum kernel (pallas_gemm.py) for
 # the reduced-precision bucket GEMMs; off by default until enabled (env
 # TENPY_TPU_PALLAS=1 or set_pallas_gemm).  _PALLAS_INTERPRET runs the kernel
@@ -570,9 +596,8 @@ from contextlib import contextmanager
 
 
 def reset_flops():
-    """Zero the trace-time GEMM FLOP counter (:data:`FLOPS_TRACED`)."""
-    global FLOPS_TRACED
-    FLOPS_TRACED = 0
+    """Zero the calling thread's trace-time GEMM FLOP counter."""
+    _FLOPS.traced = 0
 
 
 @contextmanager
@@ -584,13 +609,12 @@ def flop_scale(k):
     executed work.  Used for the achieved-FLOP/s (MFU) report of the bench
     harness; costs nothing at runtime (pure Python, trace time only).
     """
-    global _FLOP_SCALE
-    old = _FLOP_SCALE
-    _FLOP_SCALE = old * k
+    old = _FLOPS.scale
+    _FLOPS.scale = old * k
     try:
         yield
     finally:
-        _FLOP_SCALE = old
+        _FLOPS.scale = old
 
 
 class FlopRecorder:
@@ -615,16 +639,15 @@ def flop_record(rec):
     (:class:`~tenpy_tpu.algorithms.packed_dmrg.DeviceSweepEngine` MFU
     accounting; VERDICT r4 item 6).
     """
-    global FLOPS_TRACED, _FLOP_SCALE
-    save, save_scale = FLOPS_TRACED, _FLOP_SCALE
-    FLOPS_TRACED, _FLOP_SCALE = 0, 1
+    save, save_scale = _FLOPS.traced, _FLOPS.scale
+    _FLOPS.traced, _FLOPS.scale = 0, 1
     try:
         yield
     finally:
-        region = FLOPS_TRACED
+        region = _FLOPS.traced
         rec.flops += region
-        FLOPS_TRACED = save + region * save_scale
-        _FLOP_SCALE = save_scale
+        _FLOPS.traced = save + region * save_scale
+        _FLOPS.scale = save_scale
 
 
 @contextmanager
@@ -892,7 +915,6 @@ def tensordot(a, b, axes):
     for g_i, (sa, sb, so, (m, kk, n), a_pos, b_pos, o_uniq, o_inv) \
             in enumerate(plan.groups):
         B = len(a_pos)
-        global FLOPS_TRACED
         if pallas_ok and min(m, kk, n) >= 8 and pallas_gemm.group_fits_vmem(
                 m, kk, n):
             fused_mask[g_i] = True
@@ -910,7 +932,7 @@ def tensordot(a, b, axes):
                                          and buf_dtype == jnp.float64)
                            else 'default'),
                 interpret=_PALLAS_INTERPRET).astype(buf_dtype)
-            FLOPS_TRACED += _FLOP_SCALE * 2 * B * m * kk * n
+            _FLOPS.traced += _FLOPS.scale * 2 * B * m * kk * n
             contrib.setdefault(so, [[]])
             contrib[so][0].append(c.reshape(len(o_uniq), -1))
             continue
@@ -964,7 +986,7 @@ def tensordot(a, b, axes):
             t3 = _mm(ar + ai, br + bi)
             cs = [t1 - t2, t3 - t1 - t2]
             n_gemm = 3
-        FLOPS_TRACED += _FLOP_SCALE * n_gemm * 2 * B * m * kk * n
+        _FLOPS.traced += _FLOPS.scale * n_gemm * 2 * B * m * kk * n
         contrib.setdefault(so, [[] for _ in range(n_chan)])
         for c, lst in zip(cs, contrib[so]):
             lst.append(c.reshape(B, -1))

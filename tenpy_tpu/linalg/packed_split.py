@@ -682,6 +682,14 @@ def _decomp_qr_eigh(M, f32_seed=False):
     Mh = jnp.conj(jnp.swapaxes(M, -1, -2))
     if R >= C:
         rho = jnp.matmul(Mh, M)          # (N, C, C)
+        # Regularize: padded DMRG/TEBD inputs make rho exactly singular
+        # (whole zero sectors), which the TPU eigh lowering (QDWH spectral
+        # divide & conquer) is fragile against on some libtpu rolls (NaN,
+        # SMOKE r4).  A uniform diagonal shift leaves the eigenvectors
+        # unchanged and is subtracted exactly from the eigenvalues.
+        tr = jnp.trace(rho, axis1=-2, axis2=-1).real
+        shift = (1e-13 / C) * tr
+        rho = rho + shift[..., None, None] * jnp.eye(C, dtype=rho.dtype)
         if f32_seed:
             _, V0 = jnp.linalg.eigh(rho.astype(jnp.float32))
             V0 = V0.astype(M.dtype)[..., ::-1]
@@ -694,7 +702,7 @@ def _decomp_qr_eigh(M, f32_seed=False):
             w, V = jnp.linalg.eigh(rho)
             w = w[..., ::-1]
             V = V[..., ::-1]
-        S = jnp.sqrt(jnp.clip(w, 0., None))
+        S = jnp.sqrt(jnp.clip(w - shift[..., None], 0., None))
         U0 = jnp.matmul(M, V)            # columns ~ U * S
         U, Ru = jnp.linalg.qr(U0)
         d = jnp.diagonal(Ru, axis1=-2, axis2=-1)

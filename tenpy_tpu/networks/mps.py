@@ -662,6 +662,36 @@ class MPS:
         L = len(sites)
         chi = int(chi) if np.isscalar(chi) else int(max(chi))
         rng = np.random.default_rng(seed)
+        if bc == 'infinite' and L == 1:
+            # the unitary-sweep construction needs two distinct bonds; for a
+            # single-site unit cell build the random tensor directly on a
+            # virtual leg grown by repeated fusion with the physical leg
+            # (cf. reference mps.py:2163 `from_desired_bond_dimension`)
+            site = sites[0]
+            p = site.leg
+            chinfo = p.chinfo
+            if chinfo.qnumber == 0:
+                v = LegCharge.from_trivial(chi, chinfo)
+            else:
+                p_qflat = np.asarray(p.to_qflat()) * p.qconj
+                qflat = np.zeros((1, chinfo.qnumber), int)
+                while len(qflat) < chi:
+                    qflat = chinfo.make_valid(
+                        (qflat[:, None, :] + p_qflat[None, :, :]).reshape(
+                            -1, chinfo.qnumber))
+                    if len(qflat) > chi:   # keep the most balanced charges
+                        order = np.argsort(np.sum(np.abs(
+                            qflat - np.mean(qflat, 0)), axis=1), kind='stable')
+                        qflat = qflat[order[:chi]]
+                v = LegCharge.from_qflat(chinfo, chinfo.make_valid(qflat),
+                                         qconj=+1).sort()[1].bunch()[1]
+            B = npc.Array.from_func(lambda size: rng.normal(size=size),
+                                    [v, p, v.conj()], dtype=dtype)
+            B.iset_leg_labels(['vL', 'p', 'vR'])
+            S = np.ones(v.ind_len) / np.sqrt(v.ind_len)
+            psi = cls(sites, [B], [S, S], bc='infinite', form='B')
+            psi.canonical_form()
+            return psi
         if p_state is None:
             p_state = [i % s.dim for i, s in enumerate(sites)]
         psi = cls.from_product_state(sites, p_state, bc=bc, dtype=dtype)

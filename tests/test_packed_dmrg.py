@@ -371,3 +371,56 @@ def test_device_ramp_exact():
     psi.test_sanity()
     E_dev = eng.sweep_stats['E'][-1]
     assert abs(E_dev - E_ref) < 1e-12, (E_dev, E_ref)
+
+
+def test_flop_counter_vs_xla_cost_analysis():
+    """Trace-time GEMM FLOP counter pinned against XLA cost analysis
+    (VERDICT r4 item 6 / TODO #5).
+
+    (a) one known GEMM through the packed engine: the counter must agree
+        with ``compiled.cost_analysis()['flops']`` within 2x (XLA counts
+        every op; the GEMM dominates);
+    (b) a full precompiled DeviceSweepEngine update program at
+        ``lanczos_K=1`` (the while_loop body is counted once by XLA):
+        counter within 2x of XLA for every program.
+    """
+    # ---- (a) single dense GEMM
+    rng = np.random.default_rng(3)
+    from tenpy_tpu.linalg.charges import LegCharge
+    a = npc.Array.from_ndarray_trivial(rng.normal(size=(48, 40)),
+                                       labels=['x', 'y'])
+    b = npc.Array.from_func(
+        lambda size: rng.normal(size=size),
+        [a.get_leg('y').conj(),
+         LegCharge.from_trivial(56, a.chinfo)], dtype=a.dtype)
+    b.iset_leg_labels(['y', 'z'])
+    ap = pk.pack(a, multiple=8)
+    bp = pk.pack(b, multiple=8)
+    rec = pk.FlopRecorder()
+
+    def f(ap, bp):
+        with pk.flop_record(rec):
+            return pk.tensordot(ap, bp, axes=(['y'], ['y']))
+
+    jf = jax.jit(f)
+    out = jf(ap, bp)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    ca = jf.lower(ap, bp).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    xla_flops = float(ca.get('flops', 0.))
+    assert rec.flops > 0 and xla_flops > 0
+    assert 0.5 < rec.flops / xla_flops < 2.0, (rec.flops, xla_flops)
+
+    # ---- (b) every precompiled sweep program
+    m, psi, _ = _ramped_state(L=4, chi=12, sweeps=2, bc='infinite')
+    eng = DeviceSweepEngine(psi, m, {'chi_max': 16, 'svd_min': 1e-10,
+                                     'lanczos_K': 1, 'lanczos_K_seam': 1,
+                                     'n_sweeps': 1, 'multiple': 8})
+    n = eng.precompile()
+    assert n > 0
+    rows = eng.xla_cost_analysis_flops()
+    assert len(rows) == n
+    for key, xla_f, traced in rows:
+        assert traced > 0 and xla_f > 0, (key, xla_f, traced)
+        assert 0.5 < traced / xla_f < 2.0, (key, xla_f, traced)
