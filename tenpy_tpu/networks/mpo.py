@@ -458,7 +458,13 @@ class MPO:
         bc = psi.bc
         if bc == 'finite':
             for i in range(psi.L):
-                B = psi.get_B(i, None)
+                # 'B' form, NOT the raw stored tensor: a mixed-canonical
+                # state (e.g. fresh out of DMRG, A-forms left of the center)
+                # is only the product of its raw tensors with diag(S)
+                # inserted at the A/B boundary — right-canonical B-forms with
+                # the trivial S[0] boundary ARE the state (measured: raw
+                # form=None on a mixed state inflated <H^2> by ~2x)
+                B = psi.get_B(i, 'B')
                 W = self.get_W(i)
                 B = npc.tensordot(B, W, axes=[['p'], ['p*']])
                 if i == 0 and self.IdL[0] is not None:

@@ -85,3 +85,25 @@ def test_multi_site_plane_wave_excitations():
             expect = min(eps_exact(k), eps_exact(k + np.pi))
             assert abs(E - expect) < 1e-7
             assert psis[0].n_sites == size
+
+
+def test_charged_magnon_haldane_gap():
+    """Charge-sector excitations: the S=1 Heisenberg chain's single-magnon
+    branch at k=pi (the Haldane gap, 0.41048 from white1993) in the
+    qtotal_change=[2] (Sz=+1) sector, with Sz conservation on."""
+    from tenpy_tpu.models.spins import SpinChain
+    m = SpinChain({'S': 1, 'L': 2, 'Jx': 1., 'Jy': 1., 'Jz': 1.,
+                   'bc_MPS': 'infinite', 'conserve': 'Sz'})
+    psi = MPS.from_product_state(m.lat.mps_sites(), ['1.0', '-1.0'],
+                                 bc='infinite')
+    dmrg.run(psi, m, {'trunc_params': {'chi_max': 24, 'svd_min': 1e-10},
+                      'max_sweeps': 14, 'mixer': True})
+    eng_v = SingleSiteVUMPSEngine(psi, m, {
+        'max_sweeps': 40, 'max_E_err': 1e-12, 'max_split_err': 1e-7,
+        'check_overlap': False})
+    eng_v.run()
+    pwe = PlaneWaveExcitationEngine(eng_v.psi, m,
+                                    {'lanczos_params': {'N_max': 60}})
+    Es, psis, _ = pwe.run(np.pi, qtotal_change=[2])   # one magnon, Sz=+1
+    gap = float(np.real(Es[0]))
+    assert abs(gap - 0.41048) < 5e-3, gap
