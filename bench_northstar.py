@@ -111,6 +111,19 @@ def cmd_ours(chi, ramp_on_device=False):
     if os.environ.get('OURS_CPU'):   # JAX_PLATFORMS env is ignored under axon
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
+    # persistent compile cache (opt-in via JAX_COMPILATION_CACHE_DIR): re-runs
+    # of the same capacity layout skip the cold compiles through the tunnel
+    if os.environ.get('JAX_COMPILATION_CACHE_DIR'):
+        try:
+            jax.config.update('jax_compilation_cache_dir',
+                              os.environ['JAX_COMPILATION_CACHE_DIR'])
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+        except Exception:            # noqa: BLE001 - cache is best-effort
+            pass
+    import faulthandler
+    faulthandler.enable()
+    faulthandler.dump_traceback_later(int(os.environ.get(
+        'NORTHSTAR_WATCHDOG_S', '900')), repeat=True)
     from tenpy_tpu.linalg import packed as pk
     pk.start_transfer_keepalive()   # axon tunnel: streams die when idle
     print("backend:", jax.default_backend(), jax.devices())
